@@ -1,0 +1,106 @@
+"""Configuration dataclasses for the musicgan_tpu framework.
+
+The reference hardcodes every hyperparameter (reference ``train.py:34-43``,
+``audio/constant.py:1-4``).  Here they become defaults of typed config
+dataclasses with CLI overrides — the TPU rebuild's config system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """STFT geometry (reference ``audio/constant.py:1-4``)."""
+
+    n_fft: int = 1024
+    n_vec: int = 512          # frames per training sample (image width)
+    stft_stride: int = 256    # hop length
+    sample_rate: int = 44100
+
+    @property
+    def n_bins(self) -> int:
+        """Frequency bins kept after dropping the Nyquist row (512)."""
+        return self.n_fft // 2
+
+    @property
+    def seconds_per_sample(self) -> float:
+        """Wall-clock audio seconds covered by one 512x512 sample."""
+        return self.n_vec * self.stft_stride / self.sample_rate
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Network geometry (reference ``generator.py:67-76``,
+    ``discriminator.py:60-70``)."""
+
+    rand_channels: int = 32
+    latent_height: int = 2
+    latent_width: int = 2
+    # Generator per-block (in, out) channels; 8 blocks: 4x4 .. 512x512.
+    gen_channels: Tuple[Tuple[int, int], ...] = (
+        (32, 128), (128, 112), (112, 96), (96, 80),
+        (80, 64), (64, 48), (48, 32), (32, 16),
+    )
+    # Discriminator per-block (in, out) channels; 9 blocks: 512 -> 1.
+    disc_channels: Tuple[Tuple[int, int], ...] = (
+        (16, 32), (32, 48), (48, 64), (64, 80), (80, 96),
+        (96, 112), (112, 128), (128, 144), (144, 160),
+    )
+    leaky_slope: float = 0.2
+    pixel_norm_eps: float = 1e-8
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.gen_channels)  # 8 (stages 0..7)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference ``train.py:34-43,101-116,189``)."""
+
+    batch_size: int = 6
+    disc_lr: float = 1e-3
+    gen_lr: float = 1e-3
+    betas: Tuple[float, float] = (0.0, 0.9)
+    nb_epoch: int = 1000
+    n_critic: int = 5                # G step every 5th iteration
+    grad_penalty_weight: float = 10.0
+    # Progressive-growth schedule, in cumulative samples viewed.
+    fadein_lengths: Tuple[int, ...] = (
+        1, 25_000, 37_500, 50_000, 62_500, 75_000, 87_500, 100_000,
+    )
+    train_lengths: Tuple[int, ...] = (
+        50_000, 100_000, 150_000, 200_000, 250_000, 300_000, 350_000,
+    )
+    save_every: int = 1000           # checkpoint + preview cadence (iters)
+    metric_window: int = 20
+    log_every: int = 200
+    nb_preview: int = 6
+    seed: int = 0
+    # TPU-specific knobs (no reference equivalent).
+    compute_dtype: str = "float32"   # "bfloat16" enables mixed matmul compute
+    data_axis: str = "data"          # mesh axis name for data parallelism
+    max_stage: Optional[int] = None  # cap growth (e.g. 3 for 32x32 runs)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    """Inference defaults (reference ``generate.py:12-65``,
+    ``__main__.py:67-78``)."""
+
+    nb_vec: int = 10     # latent width multiplier -> ~29.7 s of audio
+    nb_music: int = 5
+
+
+def config_to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+
+
+def train_config_from_overrides(**overrides) -> TrainConfig:
+    """Build a TrainConfig from CLI-style overrides, ignoring ``None``s."""
+    clean = {k: v for k, v in overrides.items() if v is not None}
+    return dataclasses.replace(TrainConfig(), **clean)
