@@ -1,0 +1,134 @@
+"""Progressive-growing critic (WGAN discriminator), functional JAX re-design.
+
+Re-implements the capability of reference ``networks/discriminator.py:8-191``
+with the same TPU-first choices as the generator: static stage index, all
+per-stage input heads pre-allocated (shape-stable pytree), NHWC layout.
+
+The stage convention mirrors the reference: ``stage`` counts DOWN from 7
+(4x4 input) to 0 (512x512 input) as the model grows
+(reference ``discriminator.py:107-124``).  Mirrored fade-in:
+``alpha * block_s(head_s(x)) + (1 - alpha) * head_{s+1}(avgpool(x))``.
+
+The WGAN-GP gradient penalty (reference ``discriminator.py:157-184``) lives
+in ``musicgan_tpu.train.step`` as a ``jax.grad`` composition inside the
+jitted train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .layers import (
+    avg_pool_2x,
+    conv2d,
+    init_conv,
+    init_linear,
+    leaky_relu,
+    linear,
+)
+
+_DEFAULT = ModelConfig()
+
+__all__ = [
+    "init_discriminator",
+    "discriminator_forward",
+    "discriminator_param_count",
+]
+
+
+def _init_block(key, cin: int, cout: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": init_conv(k1, 3, 3, cin, cout),
+        "conv2": init_conv(k2, 3, 3, cout, cout),
+    }
+
+
+def init_discriminator(key, cfg: ModelConfig = _DEFAULT) -> dict:
+    """Pytree: 9 down-blocks, 9 MagPhase input heads, final linear
+    (reference ``discriminator.py:60-105``)."""
+    n = len(cfg.disc_channels)
+    keys = jax.random.split(key, 2 * n + 1)
+    blocks = [
+        _init_block(keys[i], cin, cout)
+        for i, (cin, cout) in enumerate(cfg.disc_channels)
+    ]
+    heads = [
+        init_conv(keys[n + i], 1, 1, 2, cin)
+        for i, (cin, _) in enumerate(cfg.disc_channels)
+    ]
+    clf = init_linear(keys[2 * n], cfg.disc_channels[-1][1], 1)
+    return {"blocks": blocks, "heads": heads, "clf": clf}
+
+
+def _block_apply(p: dict, x: jnp.ndarray, cfg: ModelConfig, dtype) -> jnp.ndarray:
+    """Conv3x3 -> LeakyReLU -> AvgPool2x -> Conv3x3 -> LeakyReLU
+    (reference ``discriminator.py:14-33``)."""
+    x = leaky_relu(conv2d(x, p["conv1"], dtype), cfg.leaky_slope)
+    x = avg_pool_2x(x)
+    x = leaky_relu(conv2d(x, p["conv2"], dtype), cfg.leaky_slope)
+    return x
+
+
+def _head_apply(p: dict, x: jnp.ndarray, cfg: ModelConfig, dtype) -> jnp.ndarray:
+    """Conv1x1(2 -> C) -> LeakyReLU (reference ``discriminator.py:37-50``)."""
+    return leaky_relu(conv2d(x, p, dtype), cfg.leaky_slope)
+
+
+def discriminator_forward(
+    params: dict,
+    x: jnp.ndarray,
+    stage: int,
+    alpha,
+    cfg: ModelConfig = _DEFAULT,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """``x``: (B, H, W, 2) NHWC at the stage's resolution -> (B, 1) critic
+    score.  ``stage`` is static; 7 = 4x4 input, 0 = 512x512 input."""
+    n = len(cfg.disc_channels)
+
+    out_new = _head_apply(params["heads"][stage], x, cfg, compute_dtype)
+    out_new = _block_apply(params["blocks"][stage], out_new, cfg, compute_dtype)
+
+    if stage < n - 2:
+        # Mirrored fade-in against the previous (coarser) input head.
+        out_old = _head_apply(
+            params["heads"][stage + 1], avg_pool_2x(x), cfg, compute_dtype
+        )
+        out = alpha * out_new + (1.0 - alpha) * out_old
+    else:
+        out = out_new
+
+    for i in range(stage + 1, n):
+        out = _block_apply(params["blocks"][i], out, cfg, compute_dtype)
+
+    out = out.reshape(out.shape[0], -1)
+    return linear(out, params["clf"], compute_dtype)
+
+
+def discriminator_param_count(
+    cfg: ModelConfig = _DEFAULT, stage: int | None = None
+) -> int:
+    """Active parameter count at ``stage`` (None = all allocated).
+
+    At stage 0 with the fade head included this equals the reference's
+    fully-grown count of 1,647,089 (SURVEY.md §0).
+    """
+
+    def conv_n(kh, kw, cin, cout):
+        return kh * kw * cin * cout + cout
+
+    total = sum(
+        conv_n(3, 3, cin, cout) + conv_n(3, 3, cout, cout)
+        for cin, cout in cfg.disc_channels
+    )
+    total += cfg.disc_channels[-1][1] + 1  # final linear
+    if stage is None:
+        total += sum(conv_n(1, 1, 2, cin) for cin, _ in cfg.disc_channels)
+    else:
+        total += conv_n(1, 1, 2, cfg.disc_channels[stage][0])
+        if stage < len(cfg.disc_channels) - 2:
+            total += conv_n(1, 1, 2, cfg.disc_channels[stage + 1][0])
+    return total
