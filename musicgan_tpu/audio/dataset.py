@@ -1,0 +1,120 @@
+"""Training dataset: memmapped packed shards with a sharded, prefetching
+batch iterator.
+
+The TPU-native replacement for the reference's ``AudioDataset`` +
+``DataLoader(num_workers=6)`` (reference ``audio/dataset.py:14-44``,
+``train.py:77-84``):
+
+* packed ``.npy`` shards are memory-mapped, so random access costs one page
+  fault instead of one ``torch.load`` of a small file;
+* per-host index sharding (``host_id::num_hosts``) gives multi-host data
+  parallelism without coordination;
+* a background thread keeps one batch ahead so host gather overlaps device
+  compute.
+
+Also reads a directory of reference-format ``magn_phase_{i}.pt`` files (via
+torch, CPU) for drop-in compatibility with datasets built by the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import re
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from .ingest import INDEX_NAME
+
+__all__ = ["SpectrogramDataset", "batch_iterator"]
+
+
+class SpectrogramDataset:
+    """Random-access view over a packed-shard dir or a reference ``.pt`` dir."""
+
+    def __init__(self, dataset_path: str):
+        assert os.path.isdir(dataset_path), dataset_path
+        self.path = dataset_path
+        index_path = os.path.join(dataset_path, INDEX_NAME)
+        if os.path.isfile(index_path):
+            with open(index_path) as f:
+                self.index = json.load(f)
+            self._shards = [
+                np.load(os.path.join(dataset_path, s["file"]), mmap_mode="r")
+                for s in self.index["shards"]
+            ]
+            counts = [s["num_samples"] for s in self.index["shards"]]
+            self._offsets = np.concatenate([[0], np.cumsum(counts)])
+            self._pt_files = None
+        else:
+            # Reference-format directory of per-sample .pt tensors
+            # (reference audio/dataset.py:22-31).
+            pat = re.compile(r"^magn_phase_\d+\.pt$")
+            files = sorted(
+                f for f in os.listdir(dataset_path) if pat.match(f)
+            )
+            if not files:
+                raise FileNotFoundError(
+                    f"no {INDEX_NAME} and no magn_phase_*.pt in {dataset_path}"
+                )
+            self._pt_files = np.array(files)
+            self._shards = None
+            self.index = {"total_samples": len(files)}
+
+    def __len__(self) -> int:
+        return int(self.index["total_samples"])
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        """-> float32 ``(2, 512, 512)``."""
+        if self._shards is not None:
+            k = int(np.searchsorted(self._offsets, i, side="right") - 1)
+            return np.asarray(self._shards[k][i - self._offsets[k]])
+        import torch  # lazy: only needed for reference-format datasets
+
+        t = torch.load(
+            os.path.join(self.path, self._pt_files[i]), weights_only=True
+        )
+        return t.numpy().astype(np.float32)
+
+    def gather(self, indices: np.ndarray) -> np.ndarray:
+        """-> float32 ``(B, 2, 512, 512)`` batch."""
+        return np.stack([self[int(i)] for i in indices], axis=0)
+
+
+def batch_iterator(
+    dataset: SpectrogramDataset,
+    batch_size: int,
+    seed: int,
+    host_id: int = 0,
+    num_hosts: int = 1,
+    drop_last: bool = True,
+    prefetch: int = 2,
+) -> Iterator[np.ndarray]:
+    """One epoch of shuffled, host-sharded, prefetched batches.
+
+    The global permutation is seeded identically on every host; each host
+    takes a strided slice, so multi-host runs see disjoint data.
+    """
+    perm = np.random.default_rng(seed).permutation(len(dataset))
+    local = perm[host_id::num_hosts]
+    n_batches = len(local) // batch_size if drop_last else -(-len(local) // batch_size)
+
+    def produce(q: queue.Queue):
+        try:
+            for b in range(n_batches):
+                idx = local[b * batch_size : (b + 1) * batch_size]
+                q.put(dataset.gather(idx))
+        finally:
+            q.put(None)
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    t = threading.Thread(target=produce, args=(q,), daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item

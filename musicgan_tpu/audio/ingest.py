@@ -1,0 +1,211 @@
+"""Parallel host-side dataset ingest: WAV -> packed spectrogram shards.
+
+Replaces the reference's serial, one-``.pt``-file-per-sample builder
+(reference ``create_dataset.py:13-64``) with:
+
+* a **multiprocessing pool** over WAV files (the reference's hot outer loop,
+  ``create_dataset.py:34``, parallelized);
+* a **pure-numpy mirror** of the device STFT/magn-phase pipeline (tested
+  for equality against the JAX path in ``tests/test_ingest.py``) so worker
+  processes stay lightweight — no per-process JAX runtimes, no per-file
+  recompiles from variable track lengths;
+* **packed float32 shards** (``shard_{k}.npy`` of shape ``(n, 2, 512, 512)``
+  + ``index.json``) instead of thousands of tiny float64 ``.pt`` files —
+  8x smaller on disk and memmap-friendly for the training loader.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import multiprocessing as mp
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from ..config import AudioConfig
+from .io import load_wav
+from .stft import hann_window
+
+_CFG = AudioConfig()
+
+__all__ = [
+    "process_wav",
+    "create_dataset",
+    "ShardWriter",
+    "INDEX_NAME",
+]
+
+INDEX_NAME = "index.json"
+
+
+# ---------------------------------------------------------------------------
+# numpy mirror of the device pipeline (audio/stft.py + audio/functions.py)
+# ---------------------------------------------------------------------------
+
+def _stft_np(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Centered, window-normalized STFT -> complex64 ``(n_fft//2+1, T)``.
+
+    Same semantics as :func:`musicgan_tpu.audio.stft.stft`.
+    """
+    pad = n_fft // 2
+    t = 1 + len(x) // hop
+    xp = np.pad(x.astype(np.float32), (pad, pad), mode="reflect")
+    total = (t - 1) * hop + n_fft
+    if len(xp) < total:
+        xp = np.pad(xp, (0, total - len(xp)))
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(t)[:, None]
+    frames = xp[idx] * hann_window(n_fft)[None, :]
+    z = np.fft.rfft(frames, axis=1).astype(np.complex64)
+    z /= np.sqrt(np.sum(hann_window(n_fft).astype(np.float64) ** 2)).astype(
+        np.float32
+    )
+    return z.T
+
+
+def _bark_scale_np(n_bins: int, sample_rate: int) -> np.ndarray:
+    freqs = np.linspace(20.0, sample_rate // 2, n_bins)
+    scale = 6.0 * np.arcsinh(freqs / 600.0)
+    return (scale / np.linalg.norm(scale)).astype(np.float32)
+
+
+def process_wav(
+    wav_path: str, cfg: AudioConfig = _CFG
+) -> np.ndarray | None:
+    """One WAV -> ``(N, 2, n_bins, n_vec)`` float32 chunks, or ``None`` if the
+    track is shorter than one chunk (reference skip at
+    ``create_dataset.py:41-42``)."""
+    signal, _ = load_wav(wav_path, expected_sample_rate=cfg.sample_rate)
+    z = _stft_np(signal, cfg.n_fft, cfg.stft_stride)[:-1, :]  # drop Nyquist
+    if z.shape[1] < cfg.n_vec:
+        return None
+
+    magn = np.abs(z)
+    phase = np.angle(z)
+    magn = magn * _bark_scale_np(cfg.n_bins, cfg.sample_rate)[:, None]
+    phase = np.unwrap(phase.astype(np.float64), axis=1)
+
+    phase = (phase[:, 1:] - phase[:, :-1]).astype(np.float32)
+    magn = magn[:, 1:]
+
+    magn = (magn - magn.min()) / (magn.max() - magn.min())
+    phase = (phase - phase.min()) / (phase.max() - phase.min())
+    magn = magn * 2.0 - 1.0
+    phase = phase * 2.0 - 1.0
+
+    t = magn.shape[1]
+    magn = magn[:, t % cfg.n_vec :]
+    phase = phase[:, t % cfg.n_vec :]
+    n = magn.shape[1] // cfg.n_vec
+    magn = magn.reshape(cfg.n_bins, n, cfg.n_vec).transpose(1, 0, 2)
+    phase = phase.reshape(cfg.n_bins, n, cfg.n_vec).transpose(1, 0, 2)
+    return np.stack([magn, phase], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# shard writer
+# ---------------------------------------------------------------------------
+
+class ShardWriter:
+    """Accumulates ``(2, H, W)`` samples and writes packed ``.npy`` shards."""
+
+    def __init__(self, out_dir: str, samples_per_shard: int = 128):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.samples_per_shard = samples_per_shard
+        self._buf: list[np.ndarray] = []
+        self._shards: list[dict] = []
+        self._total = 0
+
+    def add(self, chunks: np.ndarray) -> None:
+        for c in chunks:
+            self._buf.append(c)
+            self._total += 1
+            if len(self._buf) >= self.samples_per_shard:
+                self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        k = len(self._shards)
+        name = f"shard_{k:05d}.npy"
+        arr = np.stack(self._buf, axis=0)
+        np.save(os.path.join(self.out_dir, name), arr)
+        self._shards.append({"file": name, "num_samples": int(arr.shape[0])})
+        self._buf = []
+
+    def close(self) -> dict:
+        self._flush()
+        index = {
+            "format": "musicgan_tpu.shards.v1",
+            "dtype": "float32",
+            "sample_shape": [2, _CFG.n_bins, _CFG.n_vec],
+            "total_samples": self._total,
+            "shards": self._shards,
+        }
+        with open(os.path.join(self.out_dir, INDEX_NAME), "w") as f:
+            json.dump(index, f, indent=1)
+        return index
+
+
+# ---------------------------------------------------------------------------
+# parallel driver
+# ---------------------------------------------------------------------------
+
+def _worker(path: str):
+    try:
+        return path, process_wav(path)
+    except Exception as e:  # surface decode errors without killing the pool
+        return path, e
+
+
+def create_dataset(
+    audio_path: str | Sequence[str],
+    dataset_output_dir: str,
+    num_workers: int | None = None,
+    samples_per_shard: int = 128,
+    progress: bool = True,
+) -> dict:
+    """Glob WAVs and build a packed spectrogram-shard dataset in parallel
+    (the TPU-native replacement for reference ``create_dataset.py:13-64``).
+
+    Returns the written index dict.
+    """
+    if isinstance(audio_path, str):
+        files = sorted(glob.glob(audio_path))
+    else:
+        files = list(audio_path)
+    if num_workers is None:
+        num_workers = max(1, min(len(files), os.cpu_count() or 1))
+
+    writer = ShardWriter(dataset_output_dir, samples_per_shard)
+    iterator: Iterable
+    if num_workers > 1 and len(files) > 1:
+        ctx = mp.get_context("fork" if hasattr(os, "fork") else "spawn")
+        pool = ctx.Pool(num_workers)
+        iterator = pool.imap(_worker, files)
+    else:
+        pool = None
+        iterator = map(_worker, files)
+
+    if progress:
+        from tqdm import tqdm
+
+        iterator = tqdm(iterator, total=len(files), desc="ingest")
+
+    errors = []
+    try:
+        for path, result in iterator:
+            if isinstance(result, Exception):
+                errors.append((path, repr(result)))
+            elif result is not None:
+                writer.add(result)
+    finally:
+        if pool is not None:
+            pool.close()
+            pool.join()
+
+    index = writer.close()
+    index["errors"] = errors
+    return index

@@ -1,0 +1,118 @@
+"""Generation workflow: latent -> spectrogram image -> waveform, ONE graph.
+
+The reference runs the generator on CPU, then inverts magnitude/phase with a
+serial Python loop and torchaudio iSTFT (reference ``generate.py:12-65``,
+``audio/functions.py:97-139``).  Here generator forward + bark unscale +
+phase prefix-sum + MXU iSTFT compile into a single jitted graph (the
+BASELINE.json north-star requirement), vmapped over the batch of musics.
+
+Width-extended latents give long clips: ``z`` of width ``2 * nb_vec``
+produces ``512 * nb_vec`` STFT frames ~ ``2.97 * nb_vec`` seconds.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import magn_phase_to_signal, save_wav
+from .config import AudioConfig, GenerateConfig, ModelConfig
+from .models import generator_forward
+
+__all__ = ["synthesize_fn", "load_generator_params", "generate"]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _synthesize(params, z, stage: int, model_cfg: ModelConfig):
+    """(M, h, 2*nb_vec, C) latent -> (M, T) waveforms, one compiled graph."""
+    img = generator_forward(params, z, stage, 1.0, model_cfg)  # (M, H, W, 2)
+    mp = img.transpose(0, 3, 1, 2)[:, None]  # (M, 1, 2, H, W): 1 wide chunk
+    return jax.vmap(magn_phase_to_signal)(mp)
+
+
+def synthesize_fn(model_cfg: ModelConfig = ModelConfig(), stage: int = 7):
+    """Returns ``f(params, z) -> waveforms`` — the flagship compiled graph."""
+
+    def f(params, z):
+        return _synthesize(params, z, stage, model_cfg)
+
+    return f
+
+
+def load_generator_params(
+    ckpt: str, model_cfg: ModelConfig = ModelConfig()
+):
+    """Load generator params from either a musicgan_tpu checkpoint
+    (``.../checkpoints`` dir or a specific ``save_N`` dir) or a reference
+    PyTorch ``gen_*.pt`` state_dict."""
+    if os.path.isfile(ckpt) and ckpt.endswith(".pt"):
+        from .models.torch_ingest import load_reference_generator
+
+        return load_reference_generator(ckpt, model_cfg)
+
+    from .train.checkpoint import CheckpointManager
+    from .train.step import init_train_state
+
+    if os.path.basename(ckpt).startswith("save_"):
+        root, leaf = os.path.split(ckpt)
+        save_idx = int(leaf.split("_")[1])
+    else:
+        root = ckpt
+        if os.path.isdir(os.path.join(ckpt, "checkpoints")):
+            root = os.path.join(ckpt, "checkpoints")
+        mgr = CheckpointManager(root)
+        save_idx = mgr.latest()
+        if save_idx is None:
+            raise FileNotFoundError(f"no checkpoints under {root}")
+    mgr = CheckpointManager(root)
+    template = init_train_state(jax.random.PRNGKey(0), model_cfg)
+    state, _ = mgr.restore(save_idx, template)
+    return state.gen_params
+
+
+def generate(
+    output_dir: str,
+    rand_channels: int,
+    gen_ckpt: str,
+    nb_vec: int = GenerateConfig.nb_vec,
+    nb_music: int = GenerateConfig.nb_music,
+    seed: int = 0,
+    stage: int = 7,
+    model_cfg: Optional[ModelConfig] = None,
+    audio_cfg: AudioConfig = AudioConfig(),
+) -> list[str]:
+    """CLI workflow (reference ``generate.py:12-65``): sample ``nb_music``
+    wide latents, synthesize, write ``sound_{i}.wav``.  Returns paths."""
+    import dataclasses
+
+    if model_cfg is None:
+        model_cfg = (
+            ModelConfig()
+            if rand_channels == ModelConfig.rand_channels
+            else dataclasses.replace(ModelConfig(), rand_channels=rand_channels)
+        )
+    os.makedirs(output_dir, exist_ok=True)
+
+    params = load_generator_params(gen_ckpt, model_cfg)
+    z = jax.random.normal(
+        jax.random.PRNGKey(seed),
+        (
+            nb_music,
+            model_cfg.latent_height,
+            model_cfg.latent_width * nb_vec,
+            model_cfg.rand_channels,
+        ),
+    )
+    waves = np.asarray(synthesize_fn(model_cfg, stage)(params, z))
+
+    paths = []
+    for i, w in enumerate(waves):
+        p = os.path.join(output_dir, f"sound_{i}.wav")
+        save_wav(p, w, audio_cfg.sample_rate)
+        paths.append(p)
+    return paths

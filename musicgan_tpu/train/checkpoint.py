@@ -1,0 +1,72 @@
+"""Full train-state checkpointing WITH resume.
+
+The reference saves four separate ``state_dict`` files every 1000 iterations
+(reference ``utils.py:118-145``) but can never load them back into
+``train()`` — training always restarts from stage 0 (``train.py:52-58``).
+Here a checkpoint is the complete run state: parameter/optimizer pytrees
+(orbax), plus grower counters, iteration index, and RNG — so ``--resume``
+continues bit-where-it-left-off (modulo data order within an epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .step import TrainState
+
+__all__ = ["CheckpointManager"]
+
+_STEP_RE = re.compile(r"^save_(\d+)$")
+
+
+class CheckpointManager:
+    """Directory layout: ``{root}/save_{k}/state`` (orbax pytree) +
+    ``{root}/save_{k}/meta.json`` (host-side counters)."""
+
+    def __init__(self, root: str):
+        os.makedirs(root, exist_ok=True)
+        self.root = os.path.abspath(root)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _dir(self, save_idx: int) -> str:
+        return os.path.join(self.root, f"save_{save_idx}")
+
+    def save(self, save_idx: int, state: TrainState, meta: dict) -> str:
+        d = self._dir(save_idx)
+        self._ckptr.save(os.path.join(d, "state"), state, force=True)
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        return d
+
+    def saved_indices(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            m = _STEP_RE.match(name)
+            if m and os.path.isfile(os.path.join(self.root, name, "meta.json")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest(self) -> Optional[int]:
+        idx = self.saved_indices()
+        return idx[-1] if idx else None
+
+    def restore(
+        self, save_idx: int, template: TrainState
+    ) -> tuple[TrainState, dict]:
+        d = self._dir(save_idx)
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, template
+        )
+        state = self._ckptr.restore(os.path.join(d, "state"), abstract)
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        if not isinstance(state, TrainState):
+            state = TrainState(*state)
+        return state, meta

@@ -1,0 +1,83 @@
+"""Host-side progressive-growth schedule (reference ``utils.py:14-86``).
+
+Pure bookkeeping over *samples viewed*; the stage index it produces is the
+STATIC argument that selects which compiled train-step graph runs, and
+``alpha`` is the traced fade-in scalar fed to that graph.  The per-stage
+input transform itself lives inside the jitted step
+(:func:`musicgan_tpu.audio.transforms.grower_transform`), not here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+__all__ = ["Grower"]
+
+
+@dataclass
+class Grower:
+    n_grow: int = 7
+    fadein_lengths: Sequence[int] = (
+        1, 25_000, 37_500, 50_000, 62_500, 75_000, 87_500, 100_000,
+    )
+    train_lengths: Sequence[int] = (
+        50_000, 100_000, 150_000, 200_000, 250_000, 300_000, 350_000,
+    )
+    curr_grow: int = 0
+    sample_idx: int = 0
+    step_sample_idx: int = 0
+    _cum_train: list = field(init=False, repr=False)
+
+    def __post_init__(self):
+        assert len(self.fadein_lengths) == self.n_grow + 1
+        assert len(self.train_lengths) == self.n_grow
+        acc, cum = 0, []
+        for t in self.train_lengths:
+            acc += t
+            cum.append(acc)
+        self._cum_train = cum
+
+    def grow(self, viewed_samples: int) -> bool:
+        """Advance counters; True exactly when the stage just switched
+        (reference ``utils.py:45-60``)."""
+        self.sample_idx += viewed_samples
+        self.step_sample_idx += viewed_samples
+        if self.curr_grow >= self.n_grow:
+            return False
+        if self._cum_train[self.curr_grow] < self.sample_idx:
+            self.step_sample_idx = 0
+            self.curr_grow += 1
+            return True
+        return False
+
+    @property
+    def alpha(self) -> float:
+        """Fade-in weight (reference ``utils.py:62-68``); stage 0's fade-in
+        length of 1 makes alpha == 1 immediately."""
+        return min(
+            1.0, (1.0 + self.step_sample_idx) / self.fadein_lengths[self.curr_grow]
+        )
+
+    @property
+    def downscale(self) -> int:
+        """Image downscale exponent: 7 at stage 0 (4x4) .. 0 at stage 7."""
+        return self.n_grow - self.curr_grow
+
+    @property
+    def image_size(self) -> int:
+        return 512 // 2**self.downscale
+
+    # --- checkpoint support (the reference cannot resume; we can) ---
+
+    def state_dict(self) -> dict:
+        return {
+            "curr_grow": self.curr_grow,
+            "sample_idx": self.sample_idx,
+            "step_sample_idx": self.step_sample_idx,
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.curr_grow = int(d["curr_grow"])
+        self.sample_idx = int(d["sample_idx"])
+        self.step_sample_idx = int(d["step_sample_idx"])

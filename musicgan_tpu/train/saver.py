@@ -1,0 +1,99 @@
+"""Periodic checkpoint + preview-image saver (reference ``utils.py:89-242``).
+
+Every ``save_every`` train iterations: write a full-resume checkpoint (the
+reference writes load-only state dicts) and render ``nb_preview``
+magnitude/phase PNG pairs ('plasma' colormap, matching the reference's
+preview style at ``utils.py:147-207``) from fresh latents through the
+current-stage generator.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, TrainConfig
+from ..models import generator_forward
+from .checkpoint import CheckpointManager
+from .step import TrainState
+
+__all__ = ["Saver"]
+
+
+class Saver:
+    def __init__(
+        self,
+        output_dir: str,
+        train_cfg: TrainConfig = TrainConfig(),
+        model_cfg: ModelConfig = ModelConfig(),
+    ):
+        os.makedirs(output_dir, exist_ok=True)
+        self.output_dir = output_dir
+        self.cfg = train_cfg
+        self.model_cfg = model_cfg
+        self.ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+        self.counter = 0
+        self.curr_save = 0
+        self._preview_key = jax.random.PRNGKey(train_cfg.seed + 777)
+
+    @functools.lru_cache(maxsize=None)
+    def _preview_fwd(self, stage: int):
+        cfg = self.model_cfg
+
+        @jax.jit
+        def fwd(params, z, alpha):
+            return generator_forward(params, z, stage, alpha, cfg)
+
+        return fwd
+
+    def _save_previews(self, state: TrainState, stage: int, alpha: float):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        cfg = self.model_cfg
+        fwd = self._preview_fwd(stage)
+        for gen_idx in range(self.cfg.nb_preview):
+            self._preview_key, k = jax.random.split(self._preview_key)
+            z = jax.random.normal(
+                k, (1, cfg.latent_height, cfg.latent_width, cfg.rand_channels)
+            )
+            x = np.asarray(fwd(state.gen_params, z, alpha))  # (1, H, W, 2)
+            for ch, name in ((0, "magn"), (1, "phase")):
+                img = x[0, :, :, ch]
+                fig, ax = plt.subplots()
+                ax.matshow(img / (img.max() - img.min() + 1e-12), cmap="plasma")
+                plt.title(f"gen {name} {self.curr_save} grow={stage}")
+                fig.savefig(
+                    os.path.join(
+                        self.output_dir,
+                        f"{name}_{self.curr_save}_ID{gen_idx}.png",
+                    )
+                )
+                plt.close(fig)
+
+    def request_save(
+        self, state: TrainState, stage: int, alpha: float, meta: dict
+    ) -> bool:
+        """Call once per train iteration; fires every ``save_every`` calls
+        (reference ``utils.py:209-233``)."""
+        self.counter += 1
+        if self.counter % self.cfg.save_every != 0:
+            return False
+        self.ckpt.save(
+            self.curr_save,
+            state,
+            {**meta, "saver_counter": self.counter, "save_idx": self.curr_save},
+        )
+        self._save_previews(state, stage, alpha)
+        self.curr_save += 1
+        return True
+
+    @property
+    def save_counter(self) -> int:
+        return self.counter % self.cfg.save_every

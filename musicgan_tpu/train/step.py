@@ -1,0 +1,225 @@
+"""Jitted WGAN-GP train steps with donated buffers.
+
+The reference's eager per-iteration loop (reference ``train.py:131-214``)
+becomes two compiled graphs per growth stage:
+
+* ``d_step``   — critic update only (4 out of every 5 iterations);
+* ``dg_step``  — critic update + generator update (every 5th iteration,
+  reference ``train.py:189``).
+
+The n_critic schedule is decided on the host (it is periodic and static),
+so there is no data-dependent control flow inside jit.  Each graph fuses:
+per-stage input pipeline (min-max -> [-1,1] -> resize, reference
+``utils.py:70-86``) -> G forward -> D forwards -> WGAN-GP loss with the
+gradient penalty as a ``jax.grad`` composition (grad-of-grad, replacing the
+reference's ``autograd.grad(create_graph=True)`` double backward,
+``discriminator.py:157-184``) -> Adam updates -> metric scalars.
+
+Intentional divergence from the reference: the critic's loss gradient is
+taken w.r.t. critic parameters only, so it cannot leak into the generator
+(the reference forgets to detach ``x_fake`` — ``train.py:152-156`` — and
+then discards the spurious generator grads with ``zero_grad``; JAX's
+functional grads make the correct behavior the natural one).
+
+Metrics are returned as device scalars; the host reads them on the logging
+cadence only, avoiding the reference's ~6 blocking ``.item()`` syncs per
+step (``train.py:180-186,218-221``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..audio.transforms import grower_transform
+from ..config import ModelConfig, TrainConfig
+from ..models import (
+    discriminator_forward,
+    generator_forward,
+    wasserstein_discriminator_loss,
+    wasserstein_generator_loss,
+)
+
+__all__ = ["TrainState", "init_train_state", "make_optimizers", "build_step"]
+
+
+class TrainState(NamedTuple):
+    """Whole-run training state: a single shape-stable pytree.
+
+    Because every per-stage head is pre-allocated (see models/), this state
+    never changes structure at growth boundaries — unlike the reference,
+    whose optimizer grows param groups mid-run (``train.py:262-272``).
+    """
+
+    gen_params: Any
+    disc_params: Any
+    opt_gen: Any
+    opt_disc: Any
+    rng: jax.Array
+    iter_idx: jax.Array  # int32 scalar
+
+
+def make_optimizers(cfg: TrainConfig):
+    b1, b2 = cfg.betas
+    return (
+        optax.adam(cfg.gen_lr, b1=b1, b2=b2),
+        optax.adam(cfg.disc_lr, b1=b1, b2=b2),
+    )
+
+
+def init_train_state(
+    key: jax.Array,
+    model_cfg: ModelConfig = ModelConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+) -> TrainState:
+    from ..models import init_discriminator, init_generator
+
+    kg, kd, kr = jax.random.split(key, 3)
+    gen_params = init_generator(kg, model_cfg)
+    disc_params = init_discriminator(kd, model_cfg)
+    opt_g, opt_d = make_optimizers(train_cfg)
+    return TrainState(
+        gen_params=gen_params,
+        disc_params=disc_params,
+        opt_gen=opt_g.init(gen_params),
+        opt_disc=opt_d.init(disc_params),
+        rng=kr,
+        iter_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_step(
+    stage: int,
+    with_gen: bool,
+    model_cfg: ModelConfig = ModelConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+    mesh=None,
+    data_axis: str | None = None,
+):
+    """Compile one train-step graph for ``stage``.
+
+    Returns ``step(state, x_raw, alpha) -> (state, metrics)`` where
+    ``x_raw`` is the raw full-resolution batch ``(B, 2, 512, 512)`` float32
+    and ``alpha`` the fade-in scalar.  When ``mesh`` is given, the batch is
+    sharded over ``data_axis`` and the state replicated; XLA inserts the
+    gradient all-reduces implied by the mean-reductions in the loss.
+    """
+    size = 4 * 2**stage
+    disc_stage = len(model_cfg.disc_channels) - 2 - stage  # 7 -> 0
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    gp_w = train_cfg.grad_penalty_weight
+    opt_g, opt_d = make_optimizers(train_cfg)
+
+    def gen_fwd(params, z, alpha):
+        return generator_forward(params, z, stage, alpha, model_cfg, dtype)
+
+    def disc_fwd(params, x, alpha):
+        return discriminator_forward(
+            params, x, disc_stage, alpha, model_cfg, dtype
+        )
+
+    def d_loss_fn(disc_params, x_real, x_fake, eps, alpha):
+        out_real = disc_fwd(disc_params, x_real, alpha)
+        out_fake = disc_fwd(disc_params, x_fake, alpha)
+        w_loss = wasserstein_discriminator_loss(out_real, out_fake)
+
+        # WGAN-GP (reference discriminator.py:157-184): gradient of the
+        # critic at a random interpolate must have unit norm.
+        x_hat = eps * x_real + (1.0 - eps) * x_fake
+
+        def critic_sum(x):
+            return jnp.sum(disc_fwd(disc_params, x, alpha))
+
+        g = jax.grad(critic_sum)(x_hat)
+        g_norm = jnp.sqrt(
+            jnp.sum(jnp.square(g.reshape(g.shape[0], -1)), axis=1) + 1e-12
+        )
+        gp = gp_w * jnp.mean(jnp.square(g_norm - 1.0))
+
+        metrics = {
+            "disc_loss": w_loss,
+            "grad_pen": gp,
+            "e_tp": jnp.mean(out_real),
+            "e_tn": jnp.mean(out_fake),
+        }
+        return w_loss + gp, metrics
+
+    def g_loss_fn(gen_params, disc_params, z, alpha):
+        x_fake = gen_fwd(gen_params, z, alpha)
+        out_fake = disc_fwd(disc_params, x_fake, alpha)
+        loss = wasserstein_generator_loss(out_fake)
+        return loss, {"gen_loss": loss, "e_gen": jnp.mean(out_fake)}
+
+    def step(state: TrainState, x_raw, alpha):
+        rng, k_z, k_eps, k_zg = jax.random.split(state.rng, 4)
+        batch = x_raw.shape[0]
+
+        # Per-stage input pipeline, on device, inside the graph.
+        x_real = grower_transform(x_raw, size)
+        x_real = x_real.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+        z = jax.random.normal(
+            k_z,
+            (batch, model_cfg.latent_height, model_cfg.latent_width,
+             model_cfg.rand_channels),
+        )
+        x_fake = jax.lax.stop_gradient(gen_fwd(state.gen_params, z, alpha))
+        eps = jax.random.uniform(k_eps, (batch, 1, 1, 1))
+
+        (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.disc_params, x_real, x_fake, eps, alpha
+        )
+        d_updates, opt_disc = opt_d.update(
+            d_grads, state.opt_disc, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        if with_gen:
+            zg = jax.random.normal(
+                k_zg,
+                (batch, model_cfg.latent_height, model_cfg.latent_width,
+                 model_cfg.rand_channels),
+            )
+            # Reference order: G trains against the *updated* critic
+            # (optim_disc.step() ran first, train.py:175 vs :189-214).
+            (_, g_metrics), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.gen_params, disc_params, zg, alpha)
+            g_updates, opt_gen = opt_g.update(
+                g_grads, state.opt_gen, state.gen_params
+            )
+            gen_params = optax.apply_updates(state.gen_params, g_updates)
+        else:
+            g_metrics = {
+                "gen_loss": jnp.zeros(()),
+                "e_gen": jnp.zeros(()),
+            }
+            gen_params = state.gen_params
+            opt_gen = state.opt_gen
+
+        new_state = TrainState(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            opt_gen=opt_gen,
+            opt_disc=opt_disc,
+            rng=rng,
+            iter_idx=state.iter_idx + 1,
+        )
+        return new_state, {**d_metrics, **g_metrics}
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(data_axis or "data"))
+        return jax.jit(
+            step,
+            donate_argnums=(0,),
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(step, donate_argnums=(0,))

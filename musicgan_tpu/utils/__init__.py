@@ -1,0 +1,5 @@
+"""Utilities: metrics logging, profiling hooks."""
+
+from .metrics import MetricLogger
+
+__all__ = ["MetricLogger"]

@@ -1,0 +1,123 @@
+"""Ingest pipeline tests: numpy mirror == JAX device path, shard round-trip,
+loader sharding."""
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from musicgan_tpu.audio import functions as fn
+from musicgan_tpu.audio import ingest
+from musicgan_tpu.audio.dataset import SpectrogramDataset, batch_iterator
+from musicgan_tpu.audio.io import save_wav
+from musicgan_tpu.config import AudioConfig
+
+CFG = AudioConfig()
+
+
+def _make_wav(path, seconds=3.2, freq=440.0):
+    sr = CFG.sample_rate
+    t = np.arange(int(sr * seconds)) / sr
+    sig = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    save_wav(path, sig, sr)
+    return sig
+
+
+def test_numpy_pipeline_matches_jax(tmp_path, rng):
+    # Broadband noise: every STFT bin carries real energy, so phases are
+    # numerically well-defined.  (For near-silent bins the STFT value is
+    # rounding noise and its angle is implementation-defined garbage — in
+    # the torch reference just as much as here.)
+    p = str(tmp_path / "a.wav")
+    sr = CFG.sample_rate
+    sig = (rng.standard_normal(int(sr * 3.5)) * 0.3).astype(np.float32)
+    save_wav(p, sig, sr)
+    chunks_np = ingest.process_wav(p)
+
+    z = fn.signal_to_stft(jnp.asarray(np.asarray(load_back(p))))
+    magn, phase = fn.stft_to_phase_magn(z)
+    chunks_jax = np.asarray(jnp.stack([magn, phase], axis=1))
+
+    assert chunks_np.shape == chunks_jax.shape
+    np.testing.assert_allclose(chunks_np, chunks_jax, atol=2e-3)
+
+
+def load_back(path):
+    from musicgan_tpu.audio.io import load_wav
+
+    return load_wav(path)[0]
+
+
+def test_short_track_skipped(tmp_path):
+    p = str(tmp_path / "short.wav")
+    _make_wav(p, seconds=0.5)
+    assert ingest.process_wav(p) is None
+
+
+def test_create_dataset_and_loader(tmp_path):
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for i in range(3):
+        _make_wav(str(wav_dir / f"t{i}.wav"), seconds=3.2, freq=220.0 * (i + 1))
+    out = str(tmp_path / "ds")
+    index = ingest.create_dataset(
+        str(wav_dir / "*.wav"), out, num_workers=2, samples_per_shard=2,
+        progress=False,
+    )
+    assert index["errors"] == []
+    assert index["total_samples"] == 3  # one 512-frame chunk per 3.2s track
+    assert os.path.isfile(os.path.join(out, "index.json"))
+
+    ds = SpectrogramDataset(out)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s.shape == (2, 512, 512) and s.dtype == np.float32
+    assert -1.0 - 1e-5 <= s.min() and s.max() <= 1.0 + 1e-5
+
+    batches = list(batch_iterator(ds, 2, seed=0))
+    assert len(batches) == 1 and batches[0].shape == (2, 2, 512, 512)
+
+
+def test_batch_iterator_host_sharding(tmp_path):
+    # hosts see disjoint strided slices of one global permutation
+    wav_dir = tmp_path / "w"
+    wav_dir.mkdir()
+    _make_wav(str(wav_dir / "long.wav"), seconds=3.05 * 8)
+    out = str(tmp_path / "ds")
+    ingest.create_dataset(str(wav_dir / "*.wav"), out, num_workers=1,
+                          progress=False)
+    ds = SpectrogramDataset(out)
+    n = len(ds)
+    assert n >= 4
+
+    def collect(host, hosts):
+        seen = []
+        for b in batch_iterator(ds, 1, seed=7, host_id=host, num_hosts=hosts,
+                                drop_last=False):
+            seen.append(b[0])
+        return seen
+
+    a = collect(0, 2)
+    b = collect(1, 2)
+    assert len(a) + len(b) == n
+    # disjoint: no identical sample arrays between the two hosts
+    for x in a:
+        for y in b:
+            assert not np.array_equal(x, y)
+
+
+def test_reference_pt_directory_compat(tmp_path):
+    import torch
+
+    d = tmp_path / "ptds"
+    d.mkdir()
+    for i in range(3):
+        torch.save(
+            torch.rand(2, 512, 512, dtype=torch.float64) * 2 - 1,
+            str(d / f"magn_phase_{i}.pt"),
+        )
+    ds = SpectrogramDataset(str(d))
+    assert len(ds) == 3
+    x = ds[1]
+    assert x.shape == (2, 512, 512) and x.dtype == np.float32

@@ -1,0 +1,201 @@
+"""Train-step, growth-schedule, and end-to-end loop tests (8-device CPU mesh)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from musicgan_tpu.config import ModelConfig, TrainConfig
+from musicgan_tpu.parallel import make_mesh
+from musicgan_tpu.train import Grower, build_step, init_train_state
+from musicgan_tpu.train.checkpoint import CheckpointManager
+
+MODEL_CFG = ModelConfig()
+FAST_CFG = TrainConfig(batch_size=8, save_every=5, log_every=2, nb_preview=1)
+
+
+def _leaf_equal(a, b):
+    return all(
+        np.array_equal(x, y)
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+# ---------------------------------------------------------------- grower ---
+
+def test_grower_schedule_matches_reference():
+    g = Grower()
+    batch = 6
+    stages_seen = {0}
+    # run past full growth (1.4M samples cumulative)
+    switches = []
+    while g.sample_idx < 1_500_000:
+        if g.grow(batch):
+            switches.append((g.sample_idx, g.curr_grow))
+        stages_seen.add(g.curr_grow)
+    assert [s for _, s in switches] == [1, 2, 3, 4, 5, 6, 7]
+    # switch points: first sample count strictly above the cumulative bound
+    bounds = [50_000, 150_000, 300_000, 500_000, 750_000, 1_050_000, 1_400_000]
+    for (samples, _), bound in zip(switches, bounds):
+        assert bound < samples <= bound + batch
+    # no growth past stage 7
+    assert g.curr_grow == 7 and not g.grow(batch)
+
+
+def test_grower_alpha_semantics():
+    g = Grower()
+    assert g.alpha == 1.0  # stage-0 fade-in length is 1 => alpha==1
+    g.grow(50_001)  # force switch to stage 1
+    assert g.curr_grow == 1 and g.step_sample_idx == 0
+    assert g.alpha == pytest.approx(1.0 / 25_000)
+    g.grow(12_499)
+    assert g.alpha == pytest.approx(12_500 / 25_000)
+    g.grow(50_000)  # still inside stage 1 (bound 150k): alpha clamps at 1
+    assert g.curr_grow == 1 and g.alpha == 1.0
+    g.grow(40_000)  # crosses 150k: stage 2, fade restarts
+    assert g.curr_grow == 2 and g.alpha == pytest.approx(1.0 / 37_500)
+
+
+def test_grower_image_size():
+    g = Grower()
+    assert g.image_size == 4
+    g.curr_grow = 7
+    assert g.image_size == 512
+
+
+# ------------------------------------------------------------ train step ---
+
+@pytest.fixture()
+def state0():
+    # function-scoped: build_step donates the input state, so each test
+    # needs a fresh (deterministic) state
+    return init_train_state(jax.random.PRNGKey(0), MODEL_CFG, FAST_CFG)
+
+
+def _snapshot(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def _raw_batch(batch=8):
+    return jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (batch, 2, 512, 512)),
+        jnp.float32,
+    )
+
+
+def test_d_step_updates_disc_only(state0):
+    step = build_step(0, with_gen=False, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
+    before = _snapshot(state0)
+    state1, metrics = step(state0, _raw_batch(), jnp.float32(1.0))
+    assert not _leaf_equal(before.disc_params, state1.disc_params)
+    assert _leaf_equal(before.gen_params, state1.gen_params)
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(list(m.values())).all()
+    assert m["grad_pen"] >= 0.0
+    assert int(state1.iter_idx) == 1
+
+
+def test_dg_step_updates_both(state0):
+    step = build_step(0, with_gen=True, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
+    before = _snapshot(state0)
+    state1, metrics = step(state0, _raw_batch(), jnp.float32(1.0))
+    assert not _leaf_equal(before.disc_params, state1.disc_params)
+    assert not _leaf_equal(before.gen_params, state1.gen_params)
+    assert np.isfinite(float(metrics["gen_loss"]))
+
+
+def test_step_decreases_d_loss_over_iters(state0):
+    """A few critic steps on fixed data should reduce the critic loss."""
+    step = build_step(0, with_gen=False, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
+    x = _raw_batch()
+    state = state0
+    losses = []
+    for _ in range(8):
+        state, m = step(state, x, jnp.float32(1.0))
+        losses.append(float(m["disc_loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_step_sharded_matches_semantics(state0):
+    """Mesh-sharded step runs and yields finite, scalar-replicated metrics."""
+    mesh = make_mesh()
+    assert mesh is not None and mesh.size == 8
+    step = build_step(
+        0, with_gen=True, model_cfg=MODEL_CFG, train_cfg=FAST_CFG,
+        mesh=mesh, data_axis="data",
+    )
+    from musicgan_tpu.parallel import data_sharding
+
+    x = jax.device_put(_raw_batch(8), data_sharding(mesh))
+    state1, metrics = step(state0, x, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["disc_loss"]))
+    assert np.isfinite(float(metrics["gen_loss"]))
+
+
+def test_gradient_penalty_unit_norm_property():
+    """The penalty is 10 * (||grad|| - 1)^2: V-shaped in the critic's input
+    gradient norm.  At init the norm is tiny (penalty ~ 10); scaling the
+    final layer up moves the norm toward 1 (penalty drops), and scaling it
+    enormously pushes the norm far past 1 (penalty explodes)."""
+    step = build_step(0, with_gen=False, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
+
+    def gp_with_clf_scale(scale):
+        s = init_train_state(jax.random.PRNGKey(0), MODEL_CFG, FAST_CFG)
+        dp = dict(s.disc_params)
+        dp["clf"] = jax.tree_util.tree_map(lambda w: w * scale, dp["clf"])
+        _, m = step(s._replace(disc_params=dp), _raw_batch(), jnp.float32(1.0))
+        return float(m["grad_pen"])
+
+    gp_base = gp_with_clf_scale(1.0)
+    assert gp_base == pytest.approx(10.0, rel=0.05)  # norm ~ 0 at init
+    assert gp_with_clf_scale(100.0) < gp_base        # norm moved toward 1
+    assert gp_with_clf_scale(1e6) > 100.0            # norm far above 1
+
+
+# ------------------------------------------------------------- full loop ---
+
+def _synth_dataset(tmp_path, n=16):
+    from musicgan_tpu.audio.ingest import ShardWriter
+
+    w = ShardWriter(str(tmp_path / "ds"), samples_per_shard=6)
+    rng = np.random.default_rng(0)
+    w.add(rng.uniform(-1, 1, (n, 2, 512, 512)).astype(np.float32))
+    w.close()
+    return str(tmp_path / "ds")
+
+
+def test_train_loop_end_to_end_with_resume(tmp_path):
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path)
+    out = str(tmp_path / "out")
+    cfg = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=4, log_every=3, nb_preview=1
+    )
+    state = train("t", ds, out, cfg, MODEL_CFG, max_iters=6)
+    assert int(state.iter_idx) == 6
+    # checkpoint fired at iter 4
+    ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
+    assert ckpt.latest() == 0
+    # preview PNGs written
+    assert any(f.startswith("magn_0_") for f in os.listdir(out))
+    assert os.path.isfile(os.path.join(out, "metrics.csv"))
+
+    # resume: picks up from iter 4 and continues to 10
+    state2 = train("t", ds, out, cfg, MODEL_CFG, resume=True, max_iters=10)
+    assert int(state2.iter_idx) == 10
+
+
+def test_checkpoint_roundtrip(tmp_path, state0):
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    before = _snapshot(state0)
+    ckpt.save(3, state0, {"grower": Grower().state_dict(), "epoch": 1})
+    state, meta = ckpt.restore(3, state0)
+    assert meta["epoch"] == 1
+    assert _leaf_equal(state.gen_params, before.gen_params)
+    assert _leaf_equal(state.opt_disc, before.opt_disc)
+    assert ckpt.latest() == 3
