@@ -34,7 +34,11 @@ from ..config import ModelConfig
 from .discriminator import init_discriminator
 from .generator import init_generator
 
-__all__ = ["load_reference_generator", "load_reference_discriminator"]
+__all__ = [
+    "load_reference_generator",
+    "load_reference_discriminator",
+    "export_reference_generator",
+]
 
 
 def _load_state_dict(path: str) -> dict:
@@ -87,6 +91,39 @@ def load_reference_generator(
     if stage > 0 and "_Generator__last_end_block.0.0.weight" in sd:
         params["heads"][stage - 1] = _conv(sd, "_Generator__last_end_block.0.0")
     return params
+
+
+def export_reference_generator(
+    params: dict,
+    path: str,
+    stage: int = 7,
+    cfg: ModelConfig = ModelConfig(),
+) -> None:
+    """Write our generator pytree as a reference-format ``state_dict`` so
+    reference tooling (``generate.py:29-38``) can load models trained here.
+    Inverse of :func:`load_reference_generator`."""
+    import torch
+
+    def t_conv(p):
+        w = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))  # HWIO -> OIHW
+        return torch.from_numpy(np.ascontiguousarray(w)), torch.from_numpy(
+            np.asarray(p["b"])
+        )
+
+    sd = {}
+    for i, blk in enumerate(params["blocks"]):
+        for key, idx in (("conv1", 0), ("conv2", 4)):
+            w, b = t_conv(blk[key])
+            sd[f"_Generator__gen_blocks.{i}.{idx}.weight"] = w
+            sd[f"_Generator__gen_blocks.{i}.{idx}.bias"] = b
+    w, b = t_conv(params["heads"][stage])
+    sd["_Generator__end_block.0.weight"] = w
+    sd["_Generator__end_block.0.bias"] = b
+    if stage > 0:
+        w, b = t_conv(params["heads"][stage - 1])
+        sd["_Generator__last_end_block.0.0.weight"] = w
+        sd["_Generator__last_end_block.0.0.bias"] = b
+    torch.save(sd, path)
 
 
 def load_reference_discriminator(

@@ -184,3 +184,29 @@ def test_generate_workflow_end_to_end(tmp_path):
         assert sr == 44100
         assert sig.shape == ((512 - 1) * 256,)
         assert np.isfinite(sig).all() and np.abs(sig).max() > 0
+
+
+def test_export_import_roundtrip(tmp_path):
+    """Our pytree -> reference .pt -> our pytree is the identity (for the
+    blocks and active heads)."""
+    from musicgan_tpu.models import init_generator
+    from musicgan_tpu.models.torch_ingest import (
+        export_reference_generator,
+        load_reference_generator,
+    )
+
+    params = init_generator(jax.random.PRNGKey(5), CFG)
+    pt = str(tmp_path / "exported.pt")
+    export_reference_generator(params, pt, stage=7)
+    back = load_reference_generator(pt, CFG)
+
+    for i in range(8):
+        for k in ("conv1", "conv2"):
+            np.testing.assert_array_equal(
+                np.asarray(params["blocks"][i][k]["w"]),
+                np.asarray(back["blocks"][i][k]["w"]),
+            )
+    for h in (6, 7):
+        np.testing.assert_array_equal(
+            np.asarray(params["heads"][h]["w"]), np.asarray(back["heads"][h]["w"])
+        )
