@@ -1,0 +1,159 @@
+"""Fused 3x3 convolution Pallas kernel for small-channel ProGAN layers.
+
+Why: XLA's conv lowering for this generator's channel counts (16..128)
+materializes im2col patches in HBM and leaves the MXU lanes mostly idle —
+measured ~3.9 ms for the largest layer (24 GFLOP at ~6 TFLOP/s, with ~10x
+the minimal HBM traffic).  This kernel instead:
+
+* keeps activations in **NCHW** (W on the 128-lane dim — W is huge in this
+  model, channels are tiny, so lane padding waste disappears);
+* builds the 9-tap patch matrix **in VMEM** (never touching HBM) and packs
+  the taps into the MXU contraction dim: one ``(cout, 9*cin) @ (9*cin,
+  hb*wc)`` matmul per tile — K = 144..1152 instead of 16..128;
+* fuses bias + LeakyReLU + (optional) PixelNorm into the matmul epilogue,
+  eliminating separate HBM round-trips for the elementwise chain.
+
+The caller pre-pads the input by the conv halo (and to tile multiples) in
+XLA, so the kernel has no edge cases: every DMA is in-bounds and the zero
+padding implements 'SAME' semantics exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_conv3x3", "pack_weights"]
+
+
+def pack_weights(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, cin, cout) HWIO -> (cout, 9*cin), K ordered (dy, dx, c) to
+    match the kernel's patch layout."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert (kh, kw) == (3, 3)
+    return w_hwio.reshape(9 * cin, cout).T
+
+
+def _choose_tiles(cin: int, h: int, w: int, itemsize: int) -> tuple[int, int]:
+    """Pick (hb, wc) so slab + patch + out fit comfortably in VMEM."""
+    wc = 512 if w >= 512 else max(128, 1 << (w - 1).bit_length())
+    wc = min(wc, max(128, w))
+    hb = 8
+    # patch bytes: 9*cin * hb*wc * itemsize  — keep under ~6 MB
+    while hb > 1 and 9 * cin * hb * wc * itemsize > 6 * 2**20:
+        hb //= 2
+    while wc > 128 and 9 * cin * hb * wc * itemsize > 6 * 2**20:
+        wc //= 2
+    return hb, wc
+
+
+def _kernel(x_hbm, w_ref, b_ref, o_ref, slab, patch, sem, *,
+            cin, cout, hb, wc, slope, pixel_norm, eps):
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    # DMA sizes are rounded up to the (8, 128) tiling: the slab over-reads
+    # past the 2-element conv halo (the caller pads the source to cover it).
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bi, :, pl.ds(i * hb, hb + 8), pl.ds(j * wc, wc + 128)],
+        slab,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    # Build the 9-tap patch tensor in VMEM: sublane groups (dy*3+dx)*cin..
+    # +cin are the (dy, dx)-shifted view of the slab over the (hb, wc) tile.
+    for dy in range(3):
+        for dx in range(3):
+            patch[(dy * 3 + dx) * cin : (dy * 3 + dx + 1) * cin, :, :] = (
+                slab[:, dy : dy + hb, dx : dx + wc]
+            )
+
+    y = jnp.dot(
+        w_ref[:],
+        patch[:].reshape(9 * cin, hb * wc),
+        preferred_element_type=jnp.float32,
+    )  # (cout, hb*wc)
+    y = y + b_ref[:]
+    if slope is not None:
+        y = jnp.where(y >= 0, y, slope * y)
+    if pixel_norm:
+        mean_sq = jnp.mean(jnp.square(y), axis=0, keepdims=True)
+        y = y * jax.lax.rsqrt(mean_sq + eps)
+    o_ref[0] = y.reshape(cout, hb, wc).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slope", "pixel_norm", "eps", "out_dtype", "interpret"),
+)
+def fused_conv3x3(
+    x: jnp.ndarray,
+    w_hwio: jnp.ndarray,
+    b: jnp.ndarray,
+    slope: float | None = None,
+    pixel_norm: bool = False,
+    eps: float = 1e-8,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """3x3 'SAME' conv on NCHW ``(B, cin, H, W)`` -> ``(B, cout, H, W)``
+    with fused bias / LeakyReLU / PixelNorm epilogue."""
+    bsz, cin, h, w = x.shape
+    cout = w_hwio.shape[3]
+    assert w_hwio.shape[:3] == (3, 3, cin)
+
+    hb, wc = _choose_tiles(cin, h, w, x.dtype.itemsize)
+    hb = min(hb, h)
+    n_h = -(-h // hb)
+    n_w = -(-w // wc)
+    h_pad, w_pad = n_h * hb, n_w * wc
+
+    # Halo + tile-multiple + DMA-alignment padding in XLA; the zero halo
+    # implements 'SAME' conv semantics, the extra rows/cols only satisfy
+    # Mosaic's (8, 128)-aligned DMA size requirement.
+    xp = jnp.pad(
+        x, ((0, 0), (0, 0), (1, h_pad + 7 - h), (1, w_pad + 127 - w))
+    )
+
+    w_packed = pack_weights(w_hwio).astype(x.dtype)  # (cout, 9*cin)
+    b_col = b.reshape(cout, 1).astype(jnp.float32)
+
+    kern = functools.partial(
+        _kernel,
+        cin=cin, cout=cout, hb=hb, wc=wc,
+        slope=slope, pixel_norm=pixel_norm, eps=eps,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, n_h, n_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                (cout, 9 * cin), lambda bi, i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cout, 1), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, hb, wc), lambda bi, i, j: (bi, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, cout, h_pad, w_pad), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cin, hb + 8, wc + 128), x.dtype),
+            pltpu.VMEM((9 * cin, hb, wc), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, w_packed, b_col)
+    return out[:, :, :h, :w]
