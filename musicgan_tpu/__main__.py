@@ -39,6 +39,15 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--profile", type=str, default=None, metavar="TRACE_DIR",
+                   help="capture a jax.profiler trace of the run")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise at the first non-finite value inside jit")
+    # multi-host bring-up (jax.distributed)
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port for multi-host runs")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
     p = sub.add_parser("generate", help="sample latents -> WAV files")
     p.add_argument("gen_dict_state", type=str,
@@ -53,6 +62,13 @@ def main() -> None:
     p.add_argument("--input-audio", type=str, required=True)
     p.add_argument("--image-idx", type=int, required=True)
     p.add_argument("-o", "--output-dir", type=str, default=None)
+
+    p = sub.add_parser(
+        "export", help="export a trained generator as a reference-format .pt"
+    )
+    p.add_argument("ckpt", type=str, help="musicgan_tpu checkpoint dir")
+    p.add_argument("-o", "--output", type=str, required=True)
+    p.add_argument("--stage", type=int, default=7)
 
     args = parser.parse_args()
 
@@ -73,8 +89,20 @@ def main() -> None:
             print(f"  ERROR {path}: {err}")
 
     elif args.mode == "train":
+        import contextlib
+
         from .config import train_config_from_overrides
+        from .parallel import initialize_distributed
         from .train import train
+        from .utils.profiling import enable_debug_mode, trace
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if args.debug_nans:
+            enable_debug_mode(nans=True)
 
         cfg = train_config_from_overrides(
             batch_size=args.batch_size,
@@ -85,14 +113,16 @@ def main() -> None:
             seed=args.seed,
             compute_dtype=args.compute_dtype,
         )
-        train(
-            args.run,
-            args.input_dataset,
-            args.out_path,
-            train_cfg=cfg,
-            resume=args.resume,
-            max_iters=args.max_iters,
-        )
+        ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
+        with ctx:
+            train(
+                args.run,
+                args.input_dataset,
+                args.out_path,
+                train_cfg=cfg,
+                resume=args.resume,
+                max_iters=args.max_iters,
+            )
 
     elif args.mode == "generate":
         from .generate import generate
@@ -114,6 +144,14 @@ def main() -> None:
             args.input_audio, args.image_idx, output_dir=args.output_dir
         ):
             print(p_)
+
+    elif args.mode == "export":
+        from .generate import load_generator_params
+        from .models.torch_ingest import export_reference_generator
+
+        params = load_generator_params(args.ckpt)
+        export_reference_generator(params, args.output, stage=args.stage)
+        print(args.output)
 
 
 if __name__ == "__main__":

@@ -106,8 +106,9 @@ def export_reference_generator(
 
     def t_conv(p):
         w = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))  # HWIO -> OIHW
-        return torch.from_numpy(np.ascontiguousarray(w)), torch.from_numpy(
-            np.asarray(p["b"])
+        return (
+            torch.from_numpy(np.array(w, copy=True)),
+            torch.from_numpy(np.array(p["b"], copy=True)),
         )
 
     sd = {}
