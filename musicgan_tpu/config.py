@@ -85,6 +85,10 @@ class TrainConfig:
     compute_dtype: str = "float32"   # "bfloat16" enables mixed matmul compute
     data_axis: str = "data"          # mesh axis name for data parallelism
     max_stage: Optional[int] = None  # cap growth (e.g. 3 for 32x32 runs)
+    host_pipeline: bool = True       # per-stage scaling on host: the H2D
+    # transfer then scales with stage resolution (16,000x less at 4x4)
+    # instead of always shipping raw 512x512 batches; numerically identical
+    # (tests/test_host_pipeline.py)
 
 
 @dataclasses.dataclass(frozen=True)

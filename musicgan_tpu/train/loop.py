@@ -96,6 +96,7 @@ def train(
             steps[key] = build_step(
                 stage, with_gen, model_cfg, train_cfg,
                 mesh=mesh, data_axis=train_cfg.data_axis,
+                pre_scaled=train_cfg.host_pipeline,
             )
         return steps[key]
 
@@ -126,6 +127,10 @@ def train(
             alpha = grower.alpha
             with_gen = iter_idx % train_cfg.n_critic == 0
 
+            if train_cfg.host_pipeline:
+                from ..audio.host_pipeline import prepare_batch
+
+                x_raw = prepare_batch(x_raw, 4 * 2**stage)
             x = jnp.asarray(x_raw)
             if x_sharding is not None:
                 x = jax.device_put(x, x_sharding)

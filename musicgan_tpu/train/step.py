@@ -99,14 +99,18 @@ def build_step(
     train_cfg: TrainConfig = TrainConfig(),
     mesh=None,
     data_axis: str | None = None,
+    pre_scaled: bool = False,
 ):
     """Compile one train-step graph for ``stage``.
 
     Returns ``step(state, x_raw, alpha) -> (state, metrics)`` where
     ``x_raw`` is the raw full-resolution batch ``(B, 2, 512, 512)`` float32
-    and ``alpha`` the fade-in scalar.  When ``mesh`` is given, the batch is
-    sharded over ``data_axis`` and the state replicated; XLA inserts the
-    gradient all-reduces implied by the mean-reductions in the loss.
+    and ``alpha`` the fade-in scalar.  With ``pre_scaled=True`` the batch
+    already went through the host-side per-stage pipeline
+    (:mod:`musicgan_tpu.audio.host_pipeline`) and arrives at the stage
+    resolution.  When ``mesh`` is given, the batch is sharded over
+    ``data_axis`` and the state replicated; XLA inserts the gradient
+    all-reduces implied by the mean-reductions in the loss.
     """
     size = 4 * 2**stage
     disc_stage = len(model_cfg.disc_channels) - 2 - stage  # 7 -> 0
@@ -158,8 +162,11 @@ def build_step(
         rng, k_z, k_eps, k_zg = jax.random.split(state.rng, 4)
         batch = x_raw.shape[0]
 
-        # Per-stage input pipeline, on device, inside the graph.
-        x_real = grower_transform(x_raw, size)
+        if pre_scaled:
+            x_real = x_raw.astype(jnp.float32)
+        else:
+            # Per-stage input pipeline, on device, inside the graph.
+            x_real = grower_transform(x_raw, size)
         x_real = x_real.transpose(0, 2, 3, 1)  # NCHW -> NHWC
 
         z = jax.random.normal(
