@@ -15,6 +15,7 @@ from .functions import (
     wav_to_stft,
 )
 from .io import load_wav, save_wav
+from .rebin import rebin, rebin_operator, scale_frequencies, unbin
 from .stft import hann_window, istft, istft_real_imag, stft
 from .transforms import (
     change_range,
@@ -45,11 +46,15 @@ __all__ = [
     "istft_real_imag",
     "load_wav",
     "magn_phase_to_signal",
+    "rebin",
+    "rebin_operator",
     "resize_batch",
     "save_wav",
+    "scale_frequencies",
     "signal_to_stft",
     "stft",
     "stft_to_phase_magn",
+    "unbin",
     "unwrap",
     "wav_to_stft",
 ]

@@ -16,6 +16,8 @@ jitted train step.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -46,9 +48,11 @@ def _init_block(key, cin: int, cout: int) -> dict:
     }
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def init_discriminator(key, cfg: ModelConfig = _DEFAULT) -> dict:
     """Pytree: 9 down-blocks, 9 MagPhase input heads, final linear
-    (reference ``discriminator.py:60-105``)."""
+    (reference ``discriminator.py:60-105``).  Jitted as one graph (see
+    init_generator)."""
     n = len(cfg.disc_channels)
     keys = jax.random.split(key, 2 * n + 1)
     blocks = [

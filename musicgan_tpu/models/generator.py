@@ -22,6 +22,8 @@ Fade-in (reference ``generator.py:106-126``): at stage s > 0 the output is
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -51,8 +53,12 @@ def _init_block(key, cin: int, cout: int) -> dict:
     }
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def init_generator(key, cfg: ModelConfig = _DEFAULT) -> dict:
-    """Parameter pytree: 8 up-blocks + 8 ToMagnPhase heads (all stages)."""
+    """Parameter pytree: 8 up-blocks + 8 ToMagnPhase heads (all stages).
+
+    Jitted as ONE graph: eager per-layer init would dispatch ~50 separate
+    ops (each a compile on a cold backend)."""
     n = cfg.n_stages
     keys = jax.random.split(key, 2 * n)
     blocks = [

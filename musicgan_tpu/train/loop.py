@@ -159,7 +159,8 @@ def train(
                         f"{k}={v:.4f}" for k, v in row.items()
                         if k not in ("step", "stage", "wall_s")
                     )
-                    + f" [{elapsed:.1f}s]"
+                    + f" [{elapsed:.1f}s]",
+                    flush=True,
                 )
 
             saver.request_save(
@@ -186,7 +187,8 @@ def train(
                 print(
                     f"[grow] stage -> {grower.curr_grow} "
                     f"(size {grower.image_size}x{grower.image_size}), "
-                    f"curr_save = {saver.curr_save - 1}"
+                    f"curr_save = {saver.curr_save - 1}",
+                    flush=True,
                 )
 
     logger.close()
