@@ -17,7 +17,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .audio import magn_phase_to_signal, save_wav

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..audio.dataset import SpectrogramDataset, batch_iterator
 from ..config import ModelConfig, TrainConfig
-from ..parallel.mesh import data_sharding, make_mesh, replicated_sharding
+from ..parallel.mesh import data_sharding, make_mesh
 from ..utils.metrics import MetricLogger
 from .grower import Grower
 from .saver import Saver

@@ -13,7 +13,6 @@ import functools
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, TrainConfig

@@ -28,7 +28,6 @@ step (``train.py:180-186,218-221``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
