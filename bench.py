@@ -38,6 +38,9 @@ REPS = 3     # dispatches timed
 
 
 def main() -> None:
+    from musicgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     model_cfg = ModelConfig()
     audio_cfg = AudioConfig()
     params = init_generator(jax.random.PRNGKey(0), model_cfg)

@@ -39,6 +39,8 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--chunk-steps", type=int, default=None,
+                   help="iterations per device dispatch (lax.scan)")
     p.add_argument("--profile", type=str, default=None, metavar="TRACE_DIR",
                    help="capture a jax.profiler trace of the run")
     p.add_argument("--debug-nans", action="store_true",
@@ -71,6 +73,11 @@ def main() -> None:
     p.add_argument("--stage", type=int, default=7)
 
     args = parser.parse_args()
+
+    if args.mode != "create_dataset":  # ingest never touches the device
+        from .utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     if args.mode == "create_dataset":
         from .audio.ingest import create_dataset
@@ -112,6 +119,7 @@ def main() -> None:
             log_every=args.log_every,
             seed=args.seed,
             compute_dtype=args.compute_dtype,
+            chunk_steps=args.chunk_steps,
         )
         ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
         with ctx:

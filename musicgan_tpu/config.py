@@ -85,6 +85,9 @@ class TrainConfig:
     compute_dtype: str = "float32"   # "bfloat16" enables mixed matmul compute
     data_axis: str = "data"          # mesh axis name for data parallelism
     max_stage: Optional[int] = None  # cap growth (e.g. 3 for 32x32 runs)
+    chunk_steps: int = 10            # iterations per dispatch (lax.scan);
+    # amortizes host round trips (8x step rate at 4x4 on the bench chip);
+    # semantically identical to single stepping (tested); set 1 to disable
     host_pipeline: bool = True       # per-stage scaling on host: the H2D
     # transfer then scales with stage resolution (16,000x less at 4x4)
     # instead of always shipping raw 512x512 batches; numerically identical

@@ -29,7 +29,7 @@ from ..parallel.mesh import data_sharding, make_mesh
 from ..utils.metrics import MetricLogger
 from .grower import Grower
 from .saver import Saver
-from .step import TrainState, build_step, init_train_state
+from .step import TrainState, build_chunk_step, build_step, init_train_state
 
 __all__ = ["train"]
 
@@ -100,11 +100,38 @@ def train(
             )
         return steps[key]
 
+    chunk_steps: dict = {}
+
+    def get_chunk_step(stage: int):
+        if stage not in chunk_steps:
+            chunk_steps[stage] = build_chunk_step(
+                stage, train_cfg.chunk_steps, model_cfg, train_cfg,
+                mesh=mesh, data_axis=train_cfg.data_axis,
+                pre_scaled=train_cfg.host_pipeline,
+            )
+        return chunk_steps[stage]
+
+    def steps_until_boundary() -> int:
+        """How many iterations can run before a stage switch, a checkpoint
+        firing, or max_iters — a chunk must not straddle any of them
+        (except as its final iteration)."""
+        out = []
+        if grower.curr_grow < grower.n_grow:
+            bound = grower._cum_train[grower.curr_grow]
+            out.append(
+                (bound - grower.sample_idx) // train_cfg.batch_size + 1
+            )
+        out.append(
+            train_cfg.save_every - (saver.counter % train_cfg.save_every)
+        )
+        if max_iters is not None:
+            out.append(max_iters - iter_idx)
+        return max(1, min(out))
+
     host_id = jax.process_index()
     num_hosts = jax.process_count()
     iter_idx = int(state.iter_idx)
     t_start = time.perf_counter()
-    pending_metrics = None
     done = False
 
     print(
@@ -112,6 +139,126 @@ def train(
         f"{train_cfg.batch_size}, {n_dev} device(s), start stage "
         f"{grower.curr_grow}"
     )
+
+    def log_metrics(epoch, m_iter, m_stage, m, m_gen, alpha, row_idx=None):
+        host_m = {
+            k: float(v if row_idx is None else v[row_idx]) for k, v in m.items()
+        }
+        if not m_gen:
+            host_m.pop("gen_loss", None)
+            host_m.pop("e_gen", None)
+        logger.push(host_m)
+        row = logger.log_row(m_iter, m_stage, extra={"alpha": alpha})
+        elapsed = time.perf_counter() - t_start
+        print(
+            f"e{epoch:03d} it{m_iter:07d} s{m_stage} "
+            + " ".join(
+                f"{k}={v:.4f}" for k, v in row.items()
+                if k not in ("step", "stage", "wall_s")
+            )
+            + f" [{elapsed:.1f}s]",
+            flush=True,
+        )
+
+    def meta_dict(epoch):
+        return {
+            "grower": grower.state_dict(),
+            "epoch": epoch,
+            "iter_idx": iter_idx + 1,
+            "run_name": run_name,
+            "train_cfg": dataclasses.asdict(train_cfg),
+        }
+
+    def post_iteration(epoch, stage, alpha):
+        """Bookkeeping after each iteration: save cadence, counters, growth
+        (reference train.py:248-272 order)."""
+        nonlocal iter_idx, done
+        saver.request_save(state, stage, alpha, meta=meta_dict(epoch))
+        iter_idx += 1
+        if max_iters is not None and iter_idx >= max_iters:
+            done = True
+            return
+        # ProGAN growth: counters advance by the *global* batch.
+        if grower.grow(train_cfg.batch_size) and grower.curr_grow <= max_stage:
+            print(
+                f"[grow] stage -> {grower.curr_grow} "
+                f"(size {grower.image_size}x{grower.image_size}), "
+                f"curr_save = {saver.curr_save - 1}",
+                flush=True,
+            )
+
+    def run_single(epoch, x_raw):
+        nonlocal state
+        stage = min(grower.curr_grow, max_stage)
+        alpha = grower.alpha
+        with_gen = iter_idx % train_cfg.n_critic == 0
+
+        if train_cfg.host_pipeline:
+            from ..audio.host_pipeline import prepare_batch
+
+            x_raw = prepare_batch(x_raw, 4 * 2**stage)
+        x = jnp.asarray(x_raw)
+        if x_sharding is not None:
+            x = jax.device_put(x, x_sharding)
+
+        state, metrics = get_step(stage, with_gen)(
+            state, x, jnp.float32(alpha)
+        )
+        # Materialize metrics on the cadence only (no per-step device sync).
+        if iter_idx % train_cfg.log_every == 0:
+            log_metrics(epoch, iter_idx, stage, metrics, with_gen, alpha)
+        post_iteration(epoch, stage, alpha)
+
+    def run_chunk(epoch, items):
+        """K iterations in one dispatch; preconditions guaranteed by
+        steps_until_boundary: no stage switch and no checkpoint firing
+        except at the chunk's final iteration."""
+        nonlocal state
+        k = len(items)
+        stage = min(grower.curr_grow, max_stage)
+        bsz = train_cfg.batch_size
+        alphas = np.array(
+            [
+                min(
+                    1.0,
+                    (1.0 + grower.step_sample_idx + i * bsz)
+                    / grower.fadein_lengths[grower.curr_grow],
+                )
+                for i in range(k)
+            ],
+            np.float32,
+        )
+        gen_mask = np.array(
+            [(iter_idx + i) % train_cfg.n_critic == 0 for i in range(k)]
+        )
+        if train_cfg.host_pipeline:
+            from ..audio.host_pipeline import prepare_batch
+
+            items = [prepare_batch(b, 4 * 2**stage) for b in items]
+        x_stack = jnp.asarray(np.stack(items))
+        if x_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x_stack = jax.device_put(
+                x_stack, NamedSharding(mesh, P(None, train_cfg.data_axis))
+            )
+
+        state, mstack = get_chunk_step(stage)(
+            state, x_stack, jnp.asarray(alphas), jnp.asarray(gen_mask)
+        )
+        base_iter = iter_idx
+        for i in range(k):
+            if (base_iter + i) % train_cfg.log_every == 0:
+                log_metrics(
+                    epoch, base_iter + i, stage, mstack,
+                    bool(gen_mask[i]), float(alphas[i]), row_idx=i,
+                )
+            post_iteration(epoch, stage, float(alphas[i]))
+            if done:
+                break
+
+    chunk_n = max(1, train_cfg.chunk_steps)
+    buf: list = []
 
     for epoch in range(start_epoch, train_cfg.nb_epoch):
         if done:
@@ -123,73 +270,22 @@ def train(
             host_id=host_id,
             num_hosts=num_hosts,
         ):
-            stage = min(grower.curr_grow, max_stage)
-            alpha = grower.alpha
-            with_gen = iter_idx % train_cfg.n_critic == 0
-
-            if train_cfg.host_pipeline:
-                from ..audio.host_pipeline import prepare_batch
-
-                x_raw = prepare_batch(x_raw, 4 * 2**stage)
-            x = jnp.asarray(x_raw)
-            if x_sharding is not None:
-                x = jax.device_put(x, x_sharding)
-
-            state, metrics = get_step(stage, with_gen)(
-                state, x, jnp.float32(alpha)
-            )
-            pending_metrics = (iter_idx, stage, metrics, with_gen)
-
-            # Materialize metrics on the window cadence only (no per-step
-            # device sync; metrics lag one step behind at most).
-            if iter_idx % train_cfg.log_every == 0 and pending_metrics:
-                m_iter, m_stage, m, m_gen = pending_metrics
-                host_m = {k: float(v) for k, v in m.items()}
-                if not m_gen:
-                    host_m.pop("gen_loss", None)
-                    host_m.pop("e_gen", None)
-                logger.push(host_m)
-                row = logger.log_row(
-                    m_iter, m_stage, extra={"alpha": alpha}
-                )
-                elapsed = time.perf_counter() - t_start
-                print(
-                    f"e{epoch:03d} it{m_iter:07d} s{m_stage} "
-                    + " ".join(
-                        f"{k}={v:.4f}" for k, v in row.items()
-                        if k not in ("step", "stage", "wall_s")
-                    )
-                    + f" [{elapsed:.1f}s]",
-                    flush=True,
-                )
-
-            saver.request_save(
-                state,
-                stage,
-                alpha,
-                meta={
-                    "grower": grower.state_dict(),
-                    "epoch": epoch,
-                    "iter_idx": iter_idx + 1,
-                    "run_name": run_name,
-                    "train_cfg": dataclasses.asdict(train_cfg),
-                },
-            )
-
-            iter_idx += 1
-            if max_iters is not None and iter_idx >= max_iters:
-                done = True
+            if chunk_n == 1:
+                run_single(epoch, x_raw)
+            else:
+                buf.append(x_raw)
+                if len(buf) < chunk_n:
+                    continue
+                if steps_until_boundary() >= chunk_n:
+                    run_chunk(epoch, buf)
+                    buf = []
+                else:  # near a boundary: drain one-by-one
+                    run_single(epoch, buf.pop(0))
+            if done:
                 break
-
-            # ProGAN growth (reference train.py:258-272): counters advance
-            # by the *global* batch each iteration.
-            if grower.grow(train_cfg.batch_size) and grower.curr_grow <= max_stage:
-                print(
-                    f"[grow] stage -> {grower.curr_grow} "
-                    f"(size {grower.image_size}x{grower.image_size}), "
-                    f"curr_save = {saver.curr_save - 1}",
-                    flush=True,
-                )
+        # epoch remainder drains as single steps
+        while buf and not done:
+            run_single(epoch, buf.pop(0))
 
     logger.close()
     return state

@@ -1,25 +1,28 @@
 """Jitted WGAN-GP train steps with donated buffers.
 
 The reference's eager per-iteration loop (reference ``train.py:131-214``)
-becomes two compiled graphs per growth stage:
+becomes compiled graphs per growth stage:
 
-* ``d_step``   — critic update only (4 out of every 5 iterations);
-* ``dg_step``  — critic update + generator update (every 5th iteration,
-  reference ``train.py:189``).
+* ``build_step``       — one iteration per dispatch, two variants per stage
+  (critic-only, and critic+generator for every 5th iteration — the
+  n_critic schedule of reference ``train.py:189`` decided on the host);
+* ``build_chunk_step`` — K iterations per dispatch via ``lax.scan``, the
+  per-iteration G-update selected by a traced mask (``lax.cond``).  One
+  host round trip per K steps: at small growth stages the single-step
+  graph is dispatch-bound, so chunking approaches pure-compute throughput.
+  RNG handling is identical to the single-step path, so a chunk of K steps
+  produces bit-identical state to K single steps (tested).
 
-The n_critic schedule is decided on the host (it is periodic and static),
-so there is no data-dependent control flow inside jit.  Each graph fuses:
-per-stage input pipeline (min-max -> [-1,1] -> resize, reference
-``utils.py:70-86``) -> G forward -> D forwards -> WGAN-GP loss with the
-gradient penalty as a ``jax.grad`` composition (grad-of-grad, replacing the
-reference's ``autograd.grad(create_graph=True)`` double backward,
-``discriminator.py:157-184``) -> Adam updates -> metric scalars.
+Each graph fuses: per-stage input pipeline (min-max -> [-1,1] -> resize,
+reference ``utils.py:70-86``) -> G forward -> D forwards -> WGAN-GP loss
+with the gradient penalty as a ``jax.grad`` composition (grad-of-grad,
+replacing the reference's ``autograd.grad(create_graph=True)`` double
+backward, ``discriminator.py:157-184``) -> Adam updates -> metric scalars.
 
 Intentional divergence from the reference: the critic's loss gradient is
 taken w.r.t. critic parameters only, so it cannot leak into the generator
 (the reference forgets to detach ``x_fake`` — ``train.py:152-156`` — and
-then discards the spurious generator grads with ``zero_grad``; JAX's
-functional grads make the correct behavior the natural one).
+then discards the spurious generator grads with ``zero_grad``).
 
 Metrics are returned as device scalars; the host reads them on the logging
 cadence only, avoiding the reference's ~6 blocking ``.item()`` syncs per
@@ -43,7 +46,13 @@ from ..models import (
     wasserstein_generator_loss,
 )
 
-__all__ = ["TrainState", "init_train_state", "make_optimizers", "build_step"]
+__all__ = [
+    "TrainState",
+    "init_train_state",
+    "make_optimizers",
+    "build_step",
+    "build_chunk_step",
+]
 
 
 class TrainState(NamedTuple):
@@ -98,29 +107,20 @@ def init_train_state(
     return _init(key)
 
 
-def build_step(
+def _make_iteration(
     stage: int,
-    with_gen: bool,
-    model_cfg: ModelConfig = ModelConfig(),
-    train_cfg: TrainConfig = TrainConfig(),
-    mesh=None,
-    data_axis: str | None = None,
-    pre_scaled: bool = False,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    pre_scaled: bool,
 ):
-    """Compile one train-step graph for ``stage``.
-
-    Returns ``step(state, x_raw, alpha) -> (state, metrics)`` where
-    ``x_raw`` is the raw full-resolution batch ``(B, 2, 512, 512)`` float32
-    and ``alpha`` the fade-in scalar.  With ``pre_scaled=True`` the batch
-    already went through the host-side per-stage pipeline
-    (:mod:`musicgan_tpu.audio.host_pipeline`) and arrives at the stage
-    resolution.  When ``mesh`` is given, the batch is sharded over
-    ``data_axis`` and the state replicated; XLA inserts the gradient
-    all-reduces implied by the mean-reductions in the loss.
-    """
+    """Shared per-iteration core.  Returns ``iteration(state, x_raw, alpha,
+    do_g)`` where ``do_g`` may be a Python bool (static; dead branch pruned
+    at trace time) or a traced bool (lowered to ``lax.cond``)."""
     size = 4 * 2**stage
     disc_stage = len(model_cfg.disc_channels) - 2 - stage  # 7 -> 0
-    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    dtype = (
+        jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
     gp_w = train_cfg.grad_penalty_weight
     opt_g, opt_d = make_optimizers(train_cfg)
 
@@ -164,9 +164,15 @@ def build_step(
         loss = wasserstein_generator_loss(out_fake)
         return loss, {"gen_loss": loss, "e_gen": jnp.mean(out_fake)}
 
-    def step(state: TrainState, x_raw, alpha):
+    def iteration(state: TrainState, x_raw, alpha, do_g):
         rng, k_z, k_eps, k_zg = jax.random.split(state.rng, 4)
         batch = x_raw.shape[0]
+        z_shape = (
+            batch,
+            model_cfg.latent_height,
+            model_cfg.latent_width,
+            model_cfg.rand_channels,
+        )
 
         if pre_scaled:
             x_real = x_raw.astype(jnp.float32)
@@ -175,11 +181,7 @@ def build_step(
             x_real = grower_transform(x_raw, size)
         x_real = x_real.transpose(0, 2, 3, 1)  # NCHW -> NHWC
 
-        z = jax.random.normal(
-            k_z,
-            (batch, model_cfg.latent_height, model_cfg.latent_width,
-             model_cfg.rand_channels),
-        )
+        z = jax.random.normal(k_z, z_shape)
         x_fake = jax.lax.stop_gradient(gen_fwd(state.gen_params, z, alpha))
         eps = jax.random.uniform(k_eps, (batch, 1, 1, 1))
 
@@ -191,28 +193,36 @@ def build_step(
         )
         disc_params = optax.apply_updates(state.disc_params, d_updates)
 
-        if with_gen:
-            zg = jax.random.normal(
-                k_zg,
-                (batch, model_cfg.latent_height, model_cfg.latent_width,
-                 model_cfg.rand_channels),
-            )
+        def g_branch(gen_params, opt_gen):
+            zg = jax.random.normal(k_zg, z_shape)
             # Reference order: G trains against the *updated* critic
             # (optim_disc.step() ran first, train.py:175 vs :189-214).
             (_, g_metrics), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True
-            )(state.gen_params, disc_params, zg, alpha)
-            g_updates, opt_gen = opt_g.update(
-                g_grads, state.opt_gen, state.gen_params
+            )(gen_params, disc_params, zg, alpha)
+            g_updates, opt_gen = opt_g.update(g_grads, opt_gen, gen_params)
+            return (
+                optax.apply_updates(gen_params, g_updates),
+                opt_gen,
+                g_metrics,
             )
-            gen_params = optax.apply_updates(state.gen_params, g_updates)
-        else:
-            g_metrics = {
-                "gen_loss": jnp.zeros(()),
-                "e_gen": jnp.zeros(()),
-            }
-            gen_params = state.gen_params
-            opt_gen = state.opt_gen
+
+        def no_g_branch(gen_params, opt_gen):
+            return (
+                gen_params,
+                opt_gen,
+                {"gen_loss": jnp.zeros(()), "e_gen": jnp.zeros(())},
+            )
+
+        if isinstance(do_g, bool):  # static: prune the dead branch
+            branch = g_branch if do_g else no_g_branch
+            gen_params, opt_gen, g_metrics = branch(
+                state.gen_params, state.opt_gen
+            )
+        else:  # traced: one graph, conditional execution on device
+            gen_params, opt_gen, g_metrics = jax.lax.cond(
+                do_g, g_branch, no_g_branch, state.gen_params, state.opt_gen
+            )
 
         new_state = TrainState(
             gen_params=gen_params,
@@ -224,15 +234,89 @@ def build_step(
         )
         return new_state, {**d_metrics, **g_metrics}
 
+    return iteration
+
+
+def _apply_shardings(fn, mesh, data_axis, n_extra_repl: int, data_rank_prefix=0):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(
+        mesh, P(*([None] * data_rank_prefix), data_axis or "data")
+    )
+    return jax.jit(
+        fn,
+        donate_argnums=(0,),
+        in_shardings=(repl, data) + (repl,) * n_extra_repl,
+        out_shardings=(repl, repl),
+    )
+
+
+def build_step(
+    stage: int,
+    with_gen: bool,
+    model_cfg: ModelConfig = ModelConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+    mesh=None,
+    data_axis: str | None = None,
+    pre_scaled: bool = False,
+):
+    """Compile a one-iteration graph for ``stage``.
+
+    Returns ``step(state, x_raw, alpha) -> (state, metrics)``; ``x_raw`` is
+    ``(B, 2, H, W)`` float32 (full-res, or stage-res when ``pre_scaled``),
+    ``alpha`` the fade-in scalar.  When ``mesh`` is given the batch is
+    sharded over ``data_axis``, the state replicated, and XLA inserts the
+    gradient all-reduces implied by the loss mean-reductions.
+    """
+    iteration = _make_iteration(stage, model_cfg, train_cfg, pre_scaled)
+
+    def step(state, x_raw, alpha):
+        return iteration(state, x_raw, alpha, bool(with_gen))
+
     if mesh is not None:
+        return _apply_shardings(step, mesh, data_axis, n_extra_repl=1)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def build_chunk_step(
+    stage: int,
+    chunk: int,
+    model_cfg: ModelConfig = ModelConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+    mesh=None,
+    data_axis: str | None = None,
+    pre_scaled: bool = False,
+):
+    """Compile a K-iteration graph: ``chunk_step(state, x_stack, alphas,
+    gen_mask) -> (state, metrics_stack)``.
+
+    ``x_stack``: ``(K, B, 2, H, W)``; ``alphas``: ``(K,)`` fade-in per
+    iteration; ``gen_mask``: ``(K,)`` bool, True where the generator
+    updates (the n_critic pattern, computed on the host).  Metrics come
+    back stacked ``(K,)`` per key.  Bit-identical to ``chunk`` single
+    steps.
+    """
+    iteration = _make_iteration(stage, model_cfg, train_cfg, pre_scaled)
+
+    def chunk_step(state, x_stack, alphas, gen_mask):
+        def body(carry, inp):
+            x, alpha, do_g = inp
+            new_state, metrics = iteration(carry, x, alpha, do_g)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (x_stack, alphas, gen_mask))
+
+    if mesh is not None:
+        # x_stack batch axis is dim 1: shard P(None, "data", ...).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(data_axis or "data"))
+        data = NamedSharding(mesh, P(None, data_axis or "data"))
         return jax.jit(
-            step,
+            chunk_step,
             donate_argnums=(0,),
-            in_shardings=(repl, data, repl),
+            in_shardings=(repl, data, repl, repl),
             out_shardings=(repl, repl),
         )
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(chunk_step, donate_argnums=(0,))
