@@ -40,13 +40,12 @@ def pack_weights(w_hwio: jnp.ndarray) -> jnp.ndarray:
 
 
 def _choose_tiles(cin: int, h: int, w: int, itemsize: int) -> tuple[int, int]:
-    """Pick (hb, wc) so slab + patch + out fit comfortably in VMEM."""
-    wc = 512 if w >= 512 else max(128, 1 << (w - 1).bit_length())
-    wc = min(wc, max(128, w))
+    """Pick (hb, wc) so slab + patch + out fit comfortably in VMEM.
+
+    Both must respect Mosaic tiling: hb multiple of 8 (sublanes), wc
+    multiple of 128 (lanes)."""
+    wc = min(512, -(-w // 128) * 128)
     hb = 8
-    # patch bytes: 9*cin * hb*wc * itemsize  — keep under ~6 MB
-    while hb > 1 and 9 * cin * hb * wc * itemsize > 6 * 2**20:
-        hb //= 2
     while wc > 128 and 9 * cin * hb * wc * itemsize > 6 * 2**20:
         wc //= 2
     return hb, wc
@@ -111,7 +110,8 @@ def fused_conv3x3(
     assert w_hwio.shape[:3] == (3, 3, cin)
 
     hb, wc = _choose_tiles(cin, h, w, x.dtype.itemsize)
-    hb = min(hb, h)
+    # hb stays a multiple of 8 even for tiny H: the DMA slab's second-minor
+    # dim (hb + 8) must be 8-aligned for Mosaic; extra rows are zero padding.
     n_h = -(-h // hb)
     n_w = -(-w // wc)
     h_pad, w_pad = n_h * hb, n_w * wc

@@ -68,6 +68,13 @@ class Grower:
     def image_size(self) -> int:
         return 512 // 2**self.downscale
 
+    def samples_to_next_stage(self) -> int | None:
+        """Samples left before the next stage switch (None once fully
+        grown) — used by the chunked train loop to size dispatch chunks."""
+        if self.curr_grow >= self.n_grow:
+            return None
+        return self._cum_train[self.curr_grow] - self.sample_idx
+
     # --- checkpoint support (the reference cannot resume; we can) ---
 
     def state_dict(self) -> dict:

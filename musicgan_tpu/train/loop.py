@@ -116,11 +116,9 @@ def train(
         firing, or max_iters — a chunk must not straddle any of them
         (except as its final iteration)."""
         out = []
-        if grower.curr_grow < grower.n_grow:
-            bound = grower._cum_train[grower.curr_grow]
-            out.append(
-                (bound - grower.sample_idx) // train_cfg.batch_size + 1
-            )
+        to_grow = grower.samples_to_next_stage()
+        if to_grow is not None:
+            out.append(to_grow // train_cfg.batch_size + 1)
         out.append(
             train_cfg.save_every - (saver.counter % train_cfg.save_every)
         )
