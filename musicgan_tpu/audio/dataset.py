@@ -107,8 +107,9 @@ def batch_iterator(
             for b in range(n_batches):
                 idx = local[b * batch_size : (b + 1) * batch_size]
                 q.put(dataset.gather(idx))
-        finally:
             q.put(None)
+        except BaseException as e:  # surface IO errors in the consumer
+            q.put(e)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -117,4 +118,6 @@ def batch_iterator(
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
