@@ -93,4 +93,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    import time as _time
+
+    # The tunneled TPU occasionally reports FAILED_PRECONDITION right after
+    # another process released it; retry before giving up.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"bench attempt {attempt + 1} failed ({e!r}); retrying",
+                  file=sys.stderr)
+            _time.sleep(20)
