@@ -4,14 +4,15 @@ The jitted step can run the full input pipeline on-device
 (:func:`musicgan_tpu.audio.transforms.grower_transform`), but shipping raw
 512x512 batches to the device costs 12.6 MB/step that the early growth
 stages immediately throw away (a 4x4 stage consumes 768 bytes of it).
-This module runs min-max -> [-1, 1] -> antialiased bilinear resize on the
+This module runs min-max -> [-1, 1] -> bilinear resize on the
 host (inside the prefetch thread), so the host->device transfer scales
 with the *stage* resolution: 16,000x less data at stage 0.
 
-The resize operator is built to match ``jax.image.resize(method=
-"bilinear", antialias=True)`` exactly (same half-pixel sampling and
-triangle kernel; equality asserted in ``tests/test_host_pipeline.py``),
-so host and device pipelines are interchangeable.
+The resize operator matches ``jax.image.resize(method="bilinear",
+antialias=False)`` exactly (half-pixel sampling, unwidened triangle
+kernel — the reference era's torchvision Resize semantics; equality
+asserted in ``tests/test_host_pipeline.py``), so host and device
+pipelines are interchangeable.
 """
 
 from __future__ import annotations
@@ -25,16 +26,15 @@ __all__ = ["resize_operator", "prepare_batch"]
 
 @functools.lru_cache(maxsize=32)
 def resize_operator(src: int, dst: int) -> np.ndarray:
-    """1-D antialiased linear resize matrix ``A`` (dst, src):
-    ``out = A @ x`` == ``jax.image.resize(x, (dst,), "bilinear")``."""
+    """1-D linear resize matrix ``A`` (dst, src): ``out = A @ x`` ==
+    ``jax.image.resize(x, (dst,), "bilinear", antialias=False)``."""
     if src == dst:
         return np.eye(src, dtype=np.float32)
     scale = dst / src
-    kernel_scale = max(1.0, 1.0 / scale)  # widen the kernel when shrinking
     out_idx = np.arange(dst, dtype=np.float64)
     sample = (out_idx + 0.5) / scale - 0.5  # half-pixel centers
     in_idx = np.arange(src, dtype=np.float64)
-    t = (in_idx[None, :] - sample[:, None]) / kernel_scale
+    t = in_idx[None, :] - sample[:, None]  # antialias=False: unwidened tri
     weights = np.maximum(0.0, 1.0 - np.abs(t))
     weights /= weights.sum(axis=1, keepdims=True)
     return weights.astype(np.float32)

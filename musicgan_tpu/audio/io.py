@@ -34,9 +34,10 @@ def load_wav(path: str, expected_sample_rate: int | None = None):
             f'file "{path}" is {sr}Hz'
         )
     if data.dtype in _PCM_SCALE:
+        scale = _PCM_SCALE[np.dtype(data.dtype)]
         if data.dtype == np.uint8:  # 8-bit WAV is unsigned, offset binary
             data = data.astype(np.float32) - 128.0
-        data = data.astype(np.float32) / _PCM_SCALE[np.dtype(data.dtype)]
+        data = data.astype(np.float32) / scale
     else:
         data = data.astype(np.float32)
     if data.ndim == 2:

@@ -30,14 +30,20 @@ def change_range(x: jnp.ndarray, lower: float, upper: float) -> jnp.ndarray:
     return x * (upper - lower) + lower
 
 
-def resize_batch(x: jnp.ndarray, size: int, method: str = "bilinear") -> jnp.ndarray:
+def resize_batch(
+    x: jnp.ndarray, size: int, method: str = "bilinear",
+    antialias: bool = False,
+) -> jnp.ndarray:
     """Resize ``(B, C, H, W)`` images to ``(B, C, size, size)``.
 
-    ``bilinear`` with half-pixel centers matches
-    ``torchvision.transforms.Resize`` (align_corners=False, no antialias).
+    ``bilinear`` with half-pixel centers and ``antialias=False`` matches
+    the reference era's ``torchvision.transforms.Resize`` on tensors
+    (align_corners=False, no antialias).
     """
     b, c = x.shape[:2]
-    return jax.image.resize(x, (b, c, size, size), method=method)
+    return jax.image.resize(
+        x, (b, c, size, size), method=method, antialias=antialias
+    )
 
 
 def grower_transform(x: jnp.ndarray, size: int) -> jnp.ndarray:

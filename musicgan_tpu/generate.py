@@ -28,8 +28,22 @@ __all__ = ["synthesize_fn", "load_generator_params", "generate"]
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _synthesize(params, z, stage: int, model_cfg: ModelConfig):
-    """(M, h, 2*nb_vec, C) latent -> (M, T) waveforms, one compiled graph."""
+    """(M, h, 2*nb_vec, C) latent -> (M, T) waveforms, one compiled graph.
+
+    For a partially-grown ``stage`` the image is nearest-upsampled to the
+    full 512-bin resolution before vocoding, so audio can be auditioned
+    from any growth checkpoint (the reference can only generate at
+    end_layer=7, ``generate.py:29-32``)."""
+    import jax.numpy as jnp
+
     img = generator_forward(params, z, stage, 1.0, model_cfg)  # (M, H, W, 2)
+    n_stages = model_cfg.n_stages
+    if stage < n_stages - 1:
+        factor = 2 ** (n_stages - 1 - stage)
+        m, h, w, c = img.shape
+        img = jax.image.resize(
+            img, (m, h * factor, w * factor, c), method="nearest"
+        )
     mp = img.transpose(0, 3, 1, 2)[:, None]  # (M, 1, 2, H, W): 1 wide chunk
     return jax.vmap(magn_phase_to_signal)(mp)
 

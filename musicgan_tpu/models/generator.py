@@ -10,9 +10,9 @@ TPU-first:
   heads lazily on growth (``generator.py:128-152``), which changes the
   parameter set mid-training.  Here every per-stage 1x1 head exists from
   step 0, so the parameter pytree (and hence the optimizer state) is
-  shape-stable across the whole run; inactive heads receive zero gradient,
-  which under Adam(0.0, 0.9) reproduces the reference's fresh-optimizer-
-  state-on-growth behavior.
+  shape-stable across the whole run; inactive heads receive zero gradient
+  and the per-leaf Adam (train/optim.py) starts their bias correction at
+  first activation — exactly the reference's fresh-param-group behavior.
 * **NHWC layout** throughout (TPU-native); the public API converts at the
   edges where reference parity (NCHW) matters.
 

@@ -18,6 +18,8 @@ __all__ = ["Grower"]
 @dataclass
 class Grower:
     n_grow: int = 7
+    max_stage: int | None = None  # cap growth (phantom grows past the cap
+    # would keep resetting the fade-in against a stale previous-stage head)
     fadein_lengths: Sequence[int] = (
         1, 25_000, 37_500, 50_000, 62_500, 75_000, 87_500, 100_000,
     )
@@ -43,7 +45,10 @@ class Grower:
         (reference ``utils.py:45-60``)."""
         self.sample_idx += viewed_samples
         self.step_sample_idx += viewed_samples
-        if self.curr_grow >= self.n_grow:
+        cap = self.n_grow if self.max_stage is None else min(
+            self.n_grow, self.max_stage
+        )
+        if self.curr_grow >= cap:
             return False
         if self._cum_train[self.curr_grow] < self.sample_idx:
             self.step_sample_idx = 0
@@ -71,7 +76,10 @@ class Grower:
     def samples_to_next_stage(self) -> int | None:
         """Samples left before the next stage switch (None once fully
         grown) — used by the chunked train loop to size dispatch chunks."""
-        if self.curr_grow >= self.n_grow:
+        cap = self.n_grow if self.max_stage is None else min(
+            self.n_grow, self.max_stage
+        )
+        if self.curr_grow >= cap:
             return None
         return self._cum_train[self.curr_grow] - self.sample_idx
 

@@ -56,7 +56,19 @@ def train(
     assert train_cfg.batch_size % max(n_dev, 1) == 0, (
         f"batch {train_cfg.batch_size} not divisible by {n_dev} devices"
     )
+    assert train_cfg.batch_size % jax.process_count() == 0, (
+        f"batch {train_cfg.batch_size} not divisible by "
+        f"{jax.process_count()} hosts"
+    )
     x_sharding = data_sharding(mesh, train_cfg.data_axis) if mesh else None
+
+    def to_global(local_np, sharding):
+        """Assemble the global batch from this host's shard.  Single-host:
+        a plain device_put; multi-host: each process contributes its local
+        rows of the globally-sharded array."""
+        if jax.process_count() == 1:
+            return jax.device_put(jnp.asarray(local_np), sharding)
+        return jax.make_array_from_process_local_data(sharding, local_np)
 
     state = init_train_state(
         jax.random.PRNGKey(train_cfg.seed), model_cfg, train_cfg
@@ -64,6 +76,7 @@ def train(
     grower = Grower(
         fadein_lengths=train_cfg.fadein_lengths,
         train_lengths=train_cfg.train_lengths,
+        max_stage=train_cfg.max_stage,
     )
     saver = Saver(output_dir, train_cfg, model_cfg)
     logger = MetricLogger(output_dir, train_cfg.metric_window)
@@ -195,9 +208,10 @@ def train(
             from ..audio.host_pipeline import prepare_batch
 
             x_raw = prepare_batch(x_raw, 4 * 2**stage)
-        x = jnp.asarray(x_raw)
         if x_sharding is not None:
-            x = jax.device_put(x, x_sharding)
+            x = to_global(x_raw, x_sharding)
+        else:
+            x = jnp.asarray(x_raw)
 
         state, metrics = get_step(stage, with_gen)(
             state, x, jnp.float32(alpha)
@@ -233,13 +247,15 @@ def train(
             from ..audio.host_pipeline import prepare_batch
 
             items = [prepare_batch(b, 4 * 2**stage) for b in items]
-        x_stack = jnp.asarray(np.stack(items))
         if x_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            x_stack = jax.device_put(
-                x_stack, NamedSharding(mesh, P(None, train_cfg.data_axis))
+            x_stack = to_global(
+                np.stack(items),
+                NamedSharding(mesh, P(None, train_cfg.data_axis)),
             )
+        else:
+            x_stack = jnp.asarray(np.stack(items))
 
         state, mstack = get_chunk_step(stage)(
             state, x_stack, jnp.asarray(alphas), jnp.asarray(gen_mask)

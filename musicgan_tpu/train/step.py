@@ -72,10 +72,15 @@ class TrainState(NamedTuple):
 
 
 def make_optimizers(cfg: TrainConfig):
+    """Adam with torch-faithful per-leaf step counts (see train/optim.py):
+    a head activating at a growth boundary starts from fresh bias
+    correction, exactly like the reference's add_param_group."""
+    from .optim import adam_per_leaf
+
     b1, b2 = cfg.betas
     return (
-        optax.adam(cfg.gen_lr, b1=b1, b2=b2),
-        optax.adam(cfg.disc_lr, b1=b1, b2=b2),
+        adam_per_leaf(cfg.gen_lr, b1=b1, b2=b2),
+        adam_per_leaf(cfg.disc_lr, b1=b1, b2=b2),
     )
 
 
@@ -300,6 +305,11 @@ def build_chunk_step(
     iteration = _make_iteration(stage, model_cfg, train_cfg, pre_scaled)
 
     def chunk_step(state, x_stack, alphas, gen_mask):
+        assert x_stack.shape[0] == chunk, (
+            f"x_stack carries {x_stack.shape[0]} iterations, "
+            f"chunk graph was built for {chunk}"
+        )
+
         def body(carry, inp):
             x, alpha, do_g = inp
             new_state, metrics = iteration(carry, x, alpha, do_g)

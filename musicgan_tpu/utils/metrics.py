@@ -19,8 +19,17 @@ from typing import Mapping
 __all__ = ["MetricLogger"]
 
 
+_DEFAULT_FIELDS = (
+    "disc_loss", "grad_pen", "e_tp", "e_tn", "gen_loss", "e_gen", "alpha",
+)
+
+
 class MetricLogger:
-    def __init__(self, output_dir: str, window: int = 20):
+    def __init__(
+        self, output_dir: str, window: int = 20,
+        fields: tuple = _DEFAULT_FIELDS,
+    ):
+        self.fields = fields
         os.makedirs(output_dir, exist_ok=True)
         self.csv_path = os.path.join(output_dir, "metrics.csv")
         self.window = window
@@ -50,9 +59,15 @@ class MetricLogger:
             **({k: round(float(v), 6) for k, v in (extra or {}).items()}),
         }
         if self._csv_writer is None:
+            # Fixed column set: a critic-only first row must not freeze the
+            # header without the generator columns.
+            names = ["step", "stage", "wall_s"] + [
+                k for k in self.fields if k not in ("step", "stage", "wall_s")
+            ] + [k for k in row if k not in ("step", "stage", "wall_s")
+                 and k not in self.fields]
             self._csv_file = open(self.csv_path, "a", newline="")
             self._csv_writer = csv.DictWriter(
-                self._csv_file, fieldnames=list(row.keys()), extrasaction="ignore"
+                self._csv_file, fieldnames=names, extrasaction="ignore"
             )
             if self._csv_file.tell() == 0:
                 self._csv_writer.writeheader()

@@ -210,3 +210,17 @@ def test_export_import_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(params["heads"][h]["w"]), np.asarray(back["heads"][h]["w"])
         )
+
+
+def test_generate_from_partial_stage_checkpoint():
+    """Audio can be auditioned from any growth stage (the image is
+    upsampled to full spectrogram resolution before vocoding)."""
+    from musicgan_tpu.generate import synthesize_fn
+    from musicgan_tpu.models import init_generator
+
+    params = init_generator(jax.random.PRNGKey(0), CFG)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 32))
+    for stage in (3, 7):
+        wave = synthesize_fn(CFG, stage)(params, z)
+        assert wave.shape == (1, (512 - 1) * 256)
+        assert np.isfinite(np.asarray(wave)).all()

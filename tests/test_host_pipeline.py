@@ -14,7 +14,9 @@ from musicgan_tpu.audio.transforms import grower_transform
 def test_resize_operator_matches_jax(rng, dst):
     x = rng.standard_normal((512,)).astype(np.float32)
     golden = np.asarray(
-        jax.image.resize(jnp.asarray(x), (dst,), method="bilinear")
+        jax.image.resize(
+            jnp.asarray(x), (dst,), method="bilinear", antialias=False
+        )
     )
     ours = resize_operator(512, dst) @ x
     np.testing.assert_allclose(ours, golden, atol=1e-5)

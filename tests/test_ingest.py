@@ -121,3 +121,15 @@ def test_reference_pt_directory_compat(tmp_path):
     assert len(ds) == 3
     x = ds[1]
     assert x.shape == (2, 512, 512) and x.dtype == np.float32
+
+
+def test_load_uint8_wav(tmp_path):
+    from scipy.io import wavfile
+
+    from musicgan_tpu.audio.io import load_wav
+
+    sig8 = (np.sin(2 * np.pi * 440 * np.arange(4410) / 44100) * 100 + 128)
+    wavfile.write(str(tmp_path / "u8.wav"), 44100, sig8.astype(np.uint8))
+    sig, sr = load_wav(str(tmp_path / "u8.wav"))
+    assert sr == 44100 and sig.dtype == np.float32
+    assert 0.7 < np.abs(sig).max() <= 1.0  # 100/128 scaled into [-1, 1]

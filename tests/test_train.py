@@ -248,3 +248,71 @@ def test_train_loop_chunked_matches_iteration_count(tmp_path):
     assert int(state.iter_idx) == 13
     ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
     assert ckpt.latest() == 0  # fired at iter 7 despite chunking
+
+
+def test_grower_max_stage_cap():
+    """Growth must STOP at the cap — phantom grows past it would reset the
+    fade-in (alpha -> ~0) against a stale previous-stage head."""
+    g = Grower(max_stage=2)
+    for _ in range(200_000):
+        g.grow(6)
+        if g.sample_idx > 400_000:
+            break
+    assert g.curr_grow == 2
+    assert g.alpha == 1.0  # fully faded, never reset
+    assert g.samples_to_next_stage() is None
+
+
+def test_per_leaf_adam_matches_torch_lazy_state():
+    """A leaf inactive for N steps gets a FRESH first update when it
+    activates (torch per-param lazy state), not a stale-bias-corrected one."""
+    import optax
+
+    from musicgan_tpu.train.optim import adam_per_leaf
+
+    lr, b1, b2 = 1e-3, 0.0, 0.9
+    opt = adam_per_leaf(lr, b1, b2)
+    params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    state = opt.init(params)
+
+    # 10 steps where only 'a' is active
+    g_a = {"a": jnp.full(3, 0.5), "b": jnp.zeros(3)}
+    for _ in range(10):
+        updates, state = opt.update(g_a, state)
+        np.testing.assert_array_equal(np.asarray(updates["b"]), 0.0)
+
+    # 'b' activates: its update must equal a fresh optimizer's first update
+    g_both = {"a": jnp.full(3, 0.5), "b": jnp.full(3, 0.7)}
+    updates, state = opt.update(g_both, state)
+
+    fresh = adam_per_leaf(lr, b1, b2)
+    fstate = fresh.init({"b": params["b"]})
+    fupd, _ = fresh.update({"b": jnp.full(3, 0.7)}, fstate)
+    np.testing.assert_allclose(
+        np.asarray(updates["b"]), np.asarray(fupd["b"]), rtol=1e-6
+    )
+    # and also matches optax.adam's first step for that leaf
+    oa = optax.adam(lr, b1=b1, b2=b2)
+    ostate = oa.init({"b": params["b"]})
+    oupd, _ = oa.update({"b": jnp.full(3, 0.7)}, ostate)
+    np.testing.assert_allclose(
+        np.asarray(updates["b"]), np.asarray(oupd["b"]), rtol=1e-5
+    )
+
+
+def test_per_leaf_adam_matches_optax_when_always_active(rng):
+    import optax
+
+    from musicgan_tpu.train.optim import adam_per_leaf
+
+    lr, b1, b2 = 1e-3, 0.0, 0.9
+    ours, ref = adam_per_leaf(lr, b1, b2), optax.adam(lr, b1=b1, b2=b2)
+    p = {"w": jnp.asarray(rng.standard_normal(8), jnp.float32)}
+    s1, s2 = ours.init(p), ref.init(p)
+    for i in range(5):
+        g = {"w": jnp.asarray(rng.standard_normal(8), jnp.float32)}
+        u1, s1 = ours.update(g, s1)
+        u2, s2 = ref.update(g, s2)
+        np.testing.assert_allclose(
+            np.asarray(u1["w"]), np.asarray(u2["w"]), rtol=2e-5, atol=1e-8
+        )
