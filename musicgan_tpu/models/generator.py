@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from .layers import (
     conv2d,
+    conv3x3_on_nearest_up2x,
     init_conv,
     leaky_relu,
     pixel_norm,
@@ -74,7 +75,15 @@ def init_generator(key, cfg: ModelConfig = _DEFAULT) -> dict:
 
 def _block_apply(p: dict, x: jnp.ndarray, cfg: ModelConfig, dtype) -> jnp.ndarray:
     """Conv3x3 -> LeakyReLU -> PixelNorm -> Up2x -> Conv3x3 -> LeakyReLU ->
-    PixelNorm (reference ``generator.py:16-39``)."""
+    PixelNorm (reference ``generator.py:16-39``).
+
+    Note: the exact sub-pixel decomposition of Up2x+Conv3x3
+    (:func:`~musicgan_tpu.models.layers.conv3x3_on_nearest_up2x`, 2.25x
+    fewer MACs) measured ~9% SLOWER end-to-end on the round-1 chip — the
+    4-phase interleave relayout outweighs the FLOP savings when the conv
+    is not FLOP-bound (PERF.md).  Kept as an op for re-evaluation on
+    full-bandwidth hardware.
+    """
     x = pixel_norm(leaky_relu(conv2d(x, p["conv1"], dtype), cfg.leaky_slope),
                    cfg.pixel_norm_eps)
     x = upsample_nearest_2x(x)

@@ -100,3 +100,53 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 average pool, NHWC (reference ``discriminator.py:24``)."""
     b, h, w, c = x.shape
     return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def conv3x3_on_nearest_up2x(
+    x: jnp.ndarray, p: dict, compute_dtype=jnp.float32
+) -> jnp.ndarray:
+    """``conv3x3(upsample_nearest_2x(x))`` without materializing the
+    upsampled tensor (sub-pixel decomposition).
+
+    On a nearest-2x grid, the 3x3 window over output pixel ``(2i+a, 2j+b)``
+    touches at most 2x2 *distinct* source pixels, so the op factors into
+    four phase convolutions with 2x2 kernels built by summing the original
+    taps that alias to the same source pixel — exactly equal to the naive
+    path, with 2.25x fewer MACs and no 4x-sized intermediate in HBM.
+    """
+    w = p["w"].astype(compute_dtype)  # (3, 3, cin, cout)
+    xc = x.astype(compute_dtype)
+    b, h, wd, c = xc.shape
+
+    # Row (dy) combination: phase a=0 sources rows (i-1, i) with taps
+    # (w0 | w1+w2); phase a=1 sources rows (i, i+1) with taps (w0+w1 | w2).
+    rows = [
+        jnp.stack([w[0], w[1] + w[2]], axis=0),  # a = 0: (2, 3, cin, cout)
+        jnp.stack([w[0] + w[1], w[2]], axis=0),  # a = 1
+    ]
+
+    def col_comb(wa, bb):
+        if bb == 0:
+            return jnp.stack([wa[:, 0], wa[:, 1] + wa[:, 2]], axis=1)
+        return jnp.stack([wa[:, 0] + wa[:, 1], wa[:, 2]], axis=1)
+
+    # Per-phase padding selects which source pair the 2x2 kernel spans.
+    pad = {0: (1, 0), 1: (0, 1)}
+    phases = []
+    for a in (0, 1):
+        row_phase = []
+        for bb in (0, 1):
+            k_ab = col_comb(rows[a], bb)  # (2, 2, cin, cout)
+            y = jax.lax.conv_general_dilated(
+                xc,
+                k_ab,
+                window_strides=(1, 1),
+                padding=(pad[a], pad[bb]),
+                dimension_numbers=_DIMS,
+                preferred_element_type=jnp.float32,
+            )
+            row_phase.append(y)
+        phases.append(jnp.stack(row_phase, axis=3))  # (B, H, W, 2, cout)
+    t = jnp.stack(phases, axis=2)  # (B, H, 2, W, 2, cout)
+    out = t.reshape(b, 2 * h, 2 * wd, -1)
+    return out + p["b"]

@@ -132,3 +132,23 @@ def test_jit_per_stage_cache(gen_params):
     for stage in (0, 1, 0, 1):
         fwd(gen_params, z, stage, 0.7)
     assert traces == [0, 1]  # retrace only per distinct stage
+
+
+def test_subpixel_upsample_conv_exactness():
+    """conv3x3_on_nearest_up2x == conv3x3(upsample_nearest_2x(x)) exactly
+    (sub-pixel decomposition; kept as an optional op, see PERF.md)."""
+    from musicgan_tpu.models.layers import (
+        conv2d,
+        conv3x3_on_nearest_up2x,
+        upsample_nearest_2x,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 24)), jnp.float32)
+    p = {
+        "w": jnp.asarray(rng.standard_normal((3, 3, 24, 16)) * 0.1, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32),
+    }
+    ref = conv2d(upsample_nearest_2x(x), p)
+    got = conv3x3_on_nearest_up2x(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
