@@ -102,22 +102,40 @@ def batch_iterator(
     local = perm[host_id::num_hosts]
     n_batches = len(local) // batch_size if drop_last else -(-len(local) // batch_size)
 
+    stop = threading.Event()
+
+    def put(q: queue.Queue, item) -> bool:
+        # Bounded put so the producer notices an abandoned consumer (e.g. a
+        # mid-epoch ``max_iters`` break) instead of blocking on a full queue
+        # forever and leaking one thread per epoch.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce(q: queue.Queue):
         try:
             for b in range(n_batches):
                 idx = local[b * batch_size : (b + 1) * batch_size]
-                q.put(dataset.gather(idx))
-            q.put(None)
+                if not put(q, dataset.gather(idx)):
+                    return
+            put(q, None)
         except BaseException as e:  # surface IO errors in the consumer
-            q.put(e)
+            put(q, e)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -135,7 +135,7 @@ def fused_conv3x3(
         kern,
         grid=(bsz, n_h, n_w),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(
                 (cout, 9 * cin), lambda bi, i, j: (0, 0),
                 memory_space=pltpu.VMEM,

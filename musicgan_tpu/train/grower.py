@@ -64,6 +64,18 @@ class Grower:
             1.0, (1.0 + self.step_sample_idx) / self.fadein_lengths[self.curr_grow]
         )
 
+    def alphas_for_next(self, k: int, batch_size: int) -> list[float]:
+        """Fade-in weights for the next ``k`` iterations of ``batch_size``
+        samples each, assuming no stage switch occurs within them (the
+        chunked train loop guarantees this via ``samples_to_next_stage``).
+        Element ``i`` equals what ``alpha`` would read after ``i`` calls to
+        ``grow(batch_size)`` — property-tested against that sequence."""
+        fade = self.fadein_lengths[self.curr_grow]
+        return [
+            min(1.0, (1.0 + self.step_sample_idx + i * batch_size) / fade)
+            for i in range(k)
+        ]
+
     @property
     def downscale(self) -> int:
         """Image downscale exponent: 7 at stage 0 (4x4) .. 0 at stage 7."""

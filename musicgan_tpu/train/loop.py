@@ -228,17 +228,8 @@ def train(
         nonlocal state
         k = len(items)
         stage = min(grower.curr_grow, max_stage)
-        bsz = train_cfg.batch_size
         alphas = np.array(
-            [
-                min(
-                    1.0,
-                    (1.0 + grower.step_sample_idx + i * bsz)
-                    / grower.fadein_lengths[grower.curr_grow],
-                )
-                for i in range(k)
-            ],
-            np.float32,
+            grower.alphas_for_next(k, train_cfg.batch_size), np.float32
         )
         gen_mask = np.array(
             [(iter_idx + i) % train_cfg.n_critic == 0 for i in range(k)]

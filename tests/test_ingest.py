@@ -79,6 +79,29 @@ def test_create_dataset_and_loader(tmp_path):
     assert len(batches) == 1 and batches[0].shape == (2, 2, 512, 512)
 
 
+def test_batch_iterator_producer_exits_when_abandoned():
+    """An abandoned mid-epoch iterator (e.g. a ``max_iters`` break) must not
+    leak its producer thread blocked on a full queue."""
+    import threading
+    import time
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def gather(self, idx):
+            return np.zeros((len(idx), 1), np.float32)
+
+    before = threading.active_count()
+    it = batch_iterator(Slow(), 2, seed=0, prefetch=1)
+    next(it)  # producer is now running and ahead
+    it.close()  # abandon mid-epoch -> stop event fires in the finally
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_batch_iterator_host_sharding(tmp_path):
     # hosts see disjoint strided slices of one global permutation
     wav_dir = tmp_path / "w"

@@ -60,6 +60,25 @@ def test_grower_alpha_semantics():
     assert g.curr_grow == 2 and g.alpha == pytest.approx(1.0 / 37_500)
 
 
+def test_grower_alphas_for_next_matches_sequential():
+    """alphas_for_next(k, b)[i] == alpha after i grow(b) calls, at every
+    point of a mid-fade trajectory (chunk boundaries never straddle a
+    stage switch, which the loop guarantees via samples_to_next_stage)."""
+    batch, k = 6, 8
+    g = Grower()
+    g.grow(50_001)  # enter stage 1 mid-fade
+    while g.samples_to_next_stage() is not None:
+        left = g.samples_to_next_stage()
+        kk = min(k, left // batch)  # stay inside the stage, like the loop
+        if kk < 1:
+            g.grow(batch)
+            continue
+        predicted = g.alphas_for_next(kk, batch)
+        for i in range(kk):
+            assert predicted[i] == pytest.approx(g.alpha)
+            g.grow(batch)
+
+
 def test_grower_image_size():
     g = Grower()
     assert g.image_size == 4
