@@ -1,21 +1,35 @@
-"""Headline benchmark: end-to-end audio synthesis throughput.
+"""Headline benchmarks: synthesis, training, and preprocessing throughput.
 
-Measures the flagship single-graph pipeline — full-grown generator forward
-+ bark unscale + phase prefix-sum + MXU iSTFT — as *seconds of audio
-synthesized per wall-clock second per chip*.
+Covers all three BASELINE.json metrics:
 
-Methodology: K independent synthesis passes run on-device inside one
-``lax.scan`` dispatch that returns a single scalar, which is then fetched
-to the host.  This forces real execution and amortizes host<->device
-round-trip latency (under the axon tunnel, ``block_until_ready`` is a
-no-op and fetching the full waveform measures tunnel bandwidth, not the
-chip — both were observed and rejected as methodologies).
+1. ``preproc_stft_frames_per_sec`` — host-side ingest pipeline (numpy
+   mirror of the device STFT -> bark magn / unwrapped-phase transform),
+   measured on an in-memory signal, like-for-like with the reference's
+   ``wav_to_stft`` + ``stft_to_phase_magn`` (``audio/functions.py:38-96``).
+2. ``train_steps_per_sec_stage0`` / ``..._stage7`` — full WGAN-GP
+   iterations (D update + GP + n_critic-gated G update, reference
+   ``train.py:131-214``) at batch 6, timed as K on-device iterations per
+   ``lax.scan`` dispatch (the production ``build_chunk_step`` graph).
+3. ``gen_audio_sec_per_wall_sec`` — the flagship single-graph pipeline:
+   full-grown generator forward + bark unscale + phase prefix-sum + MXU
+   iSTFT, as seconds of audio synthesized per wall-clock second per chip.
+   This is the LAST line printed (the driver parses the tail line).
 
-North star (BASELINE.json): 60 s of audio in < 1 s end-to-end, i.e. a
-value of 60; ``vs_baseline`` is value / 60.  The reference publishes no
-numbers of its own (BASELINE.md).
+Methodology: work runs on-device inside one dispatch returning a single
+scalar, which is then fetched.  This forces real execution and amortizes
+host<->device round-trip latency (under the axon tunnel,
+``block_until_ready`` is a no-op and fetching large outputs measures tunnel
+bandwidth, not the chip — both were observed and rejected).  The measured
+scalar round-trip latency is subtracted.
 
-Prints ONE JSON line.
+``vs_baseline`` denominators: the reference publishes no numbers
+(BASELINE.md), so they were measured by driving the reference's own code
+on this host's CPU via ``scripts/measure_reference.py`` (torch 2.x, 1
+core; the only hardware both codebases can share here — see PERF.md for
+the caveats).  Synthesis keeps its absolute north star: 60 s of audio in
+<1 s (BASELINE.json), i.e. ``vs_baseline = value / 60``.
+
+Prints one JSON line per metric; the headline synthesis line is last.
 """
 
 from __future__ import annotations
@@ -29,29 +43,120 @@ import jax
 import jax.numpy as jnp
 
 from musicgan_tpu.audio import magn_phase_to_signal
-from musicgan_tpu.config import AudioConfig, ModelConfig
+from musicgan_tpu.config import AudioConfig, ModelConfig, TrainConfig
 from musicgan_tpu.models import generator_forward, init_generator
 
-NB_VEC = 20  # ~59.4 s of audio per synthesis
-K = 8        # on-device iterations per dispatch
-REPS = 3     # dispatches timed
+NB_VEC = 20   # ~59.4 s of audio per synthesis
+K_GEN = 8     # on-device synthesis iterations per dispatch
+K_TRAIN = {0: 32, 7: 4}   # on-device train iterations per dispatch
+REPS = 3      # dispatches timed
+
+# Reference throughput measured on this host via the reference's own code
+# (scripts/measure_reference.py; torch CPU, 1 core).  Re-run that script to
+# refresh.  The reference's GPU numbers do not exist anywhere (BASELINE.md).
+REFERENCE_CPU = {
+    "train_steps_per_sec_stage0": None,   # filled from BASELINE_MEASURED
+    "train_steps_per_sec_stage7": None,
+    "preproc_stft_frames_per_sec": None,
+}
+try:
+    with open(__file__.replace("bench.py", "BASELINE_MEASURED.json")) as _f:
+        REFERENCE_CPU.update(json.load(_f))
+except OSError:
+    pass
 
 
-def main() -> None:
-    from musicgan_tpu.utils.cache import enable_compilation_cache
+def _emit(metric: str, value: float, unit: str, baseline) -> None:
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(value / baseline, 3)
+    else:
+        rec["vs_baseline"] = None
+    print(json.dumps(rec), flush=True)
 
-    enable_compilation_cache()
-    model_cfg = ModelConfig()
-    audio_cfg = AudioConfig()
-    params = init_generator(jax.random.PRNGKey(0), model_cfg)
 
-    # Scalar round-trip latency, subtracted from the measurement.
+def _scalar_rtt() -> float:
     tiny = jax.jit(lambda x: x + 1.0)
     np.asarray(tiny(jnp.float32(0)))
     t0 = time.perf_counter()
     for _ in range(5):
         np.asarray(tiny(jnp.float32(0)))
-    rtt = (time.perf_counter() - t0) / 5
+    return (time.perf_counter() - t0) / 5
+
+
+def bench_preproc() -> None:
+    """Host ingest pipeline frames/sec (single process; ``create_dataset``
+    scales this near-linearly with worker count)."""
+    from musicgan_tpu.audio.ingest import process_signal
+
+    cfg = AudioConfig()
+    seconds = 60.0
+    t = np.arange(int(cfg.sample_rate * seconds)) / cfg.sample_rate
+    sig = (0.3 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    n_frames = 1 + len(sig) // cfg.stft_stride
+
+    process_signal(sig, cfg)  # warmup
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        process_signal(sig, cfg)
+    dt = time.perf_counter() - t0
+    _emit(
+        "preproc_stft_frames_per_sec",
+        reps * n_frames / dt,
+        "frames/s/worker",
+        REFERENCE_CPU["preproc_stft_frames_per_sec"],
+    )
+
+
+def bench_train(stage: int, rtt: float) -> None:
+    """Full train iterations/sec at ``stage`` (batch 6, reference parity),
+    K iterations per dispatch through the production chunked-scan graph."""
+    from musicgan_tpu.train import init_train_state
+    from musicgan_tpu.train.step import build_chunk_step
+
+    k = K_TRAIN[stage]
+    model_cfg = ModelConfig()
+    train_cfg = TrainConfig(batch_size=6)
+    size = 4 * 2**stage
+
+    state = init_train_state(jax.random.PRNGKey(0), model_cfg, train_cfg)
+    chunk = build_chunk_step(stage, k, model_cfg, train_cfg, pre_scaled=True)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        rng.uniform(-1, 1, (k, 6, 2, size, size)).astype(np.float32)
+    )
+    alphas = jnp.ones((k,), jnp.float32)
+    gen_mask = jnp.asarray([i % train_cfg.n_critic == 0 for i in range(k)])
+
+    state, m = chunk(state, xs, alphas, gen_mask)  # warmup / compile
+    np.asarray(m["disc_loss"][-1])
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        state, m = chunk(state, xs, alphas, gen_mask)
+        np.asarray(m["disc_loss"][-1])
+    per_iter = ((time.perf_counter() - t0) / REPS - rtt) / k
+    _emit(
+        f"train_steps_per_sec_stage{stage}",
+        1.0 / per_iter,
+        "steps/s/chip",
+        REFERENCE_CPU[f"train_steps_per_sec_stage{stage}"],
+    )
+
+
+def bench_synthesis(rtt: float) -> None:
+    from musicgan_tpu.ops.autotune import resolve_conv_impl
+
+    model_cfg = ModelConfig()
+    audio_cfg = AudioConfig()
+    z_shape = (
+        1, model_cfg.latent_height, model_cfg.latent_width * NB_VEC,
+        model_cfg.rand_channels,
+    )
+    model_cfg = resolve_conv_impl(model_cfg, z_shape, stage=7)
+    params = init_generator(jax.random.PRNGKey(0), model_cfg)
 
     @jax.jit
     def many(params, key):
@@ -66,7 +171,7 @@ def main() -> None:
             wave = jax.vmap(magn_phase_to_signal)(mp)
             return carry + jnp.sum(wave), None
 
-        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K_GEN))
         return out
 
     np.asarray(many(params, jax.random.PRNGKey(99)))  # warmup / compile
@@ -74,22 +179,28 @@ def main() -> None:
     t0 = time.perf_counter()
     for r in range(REPS):
         np.asarray(many(params, jax.random.PRNGKey(r)))
-    per_synthesis = ((time.perf_counter() - t0) / REPS - rtt) / K
+    per_synthesis = ((time.perf_counter() - t0) / REPS - rtt) / K_GEN
 
     audio_seconds = (
         (512 * NB_VEC - 1) * audio_cfg.stft_stride / audio_cfg.sample_rate
     )
-    value = audio_seconds / per_synthesis
-    print(
-        json.dumps(
-            {
-                "metric": "gen_audio_sec_per_wall_sec",
-                "value": round(value, 2),
-                "unit": "audio_s/s/chip",
-                "vs_baseline": round(value / 60.0, 3),
-            }
-        )
+    _emit(
+        "gen_audio_sec_per_wall_sec",
+        audio_seconds / per_synthesis,
+        "audio_s/s/chip",
+        60.0,
     )
+
+
+def main() -> None:
+    from musicgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    bench_preproc()
+    rtt = _scalar_rtt()
+    bench_train(0, rtt)
+    bench_train(7, rtt)
+    bench_synthesis(rtt)  # headline: keep LAST (driver parses the tail)
 
 
 if __name__ == "__main__":

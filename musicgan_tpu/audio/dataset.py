@@ -95,11 +95,24 @@ def batch_iterator(
 ) -> Iterator[np.ndarray]:
     """One epoch of shuffled, host-sharded, prefetched batches.
 
-    The global permutation is seeded identically on every host; each host
-    takes a strided slice, so multi-host runs see disjoint data.
+    The global permutation is seeded identically on every host.  Each host
+    takes a contiguous ``batch_size`` block of every global batch, so the
+    assembled global array (``jax.make_array_from_process_local_data`` with
+    process-ordered devices) carries rows ``perm[b*G:(b+1)*G]`` in order —
+    bit-identical batch composition to a single-process run of global batch
+    ``G = batch_size * num_hosts`` (asserted by the 2-process test).
     """
     perm = np.random.default_rng(seed).permutation(len(dataset))
-    local = perm[host_id::num_hosts]
+    if num_hosts > 1:
+        g = batch_size * num_hosts
+        n_full = len(perm) // g
+        local = (
+            perm[: n_full * g]
+            .reshape(n_full, num_hosts, batch_size)[:, host_id, :]
+            .reshape(-1)
+        )
+    else:
+        local = perm
     n_batches = len(local) // batch_size if drop_last else -(-len(local) // batch_size)
 
     stop = threading.Event()

@@ -32,6 +32,7 @@ _CFG = AudioConfig()
 
 __all__ = [
     "process_wav",
+    "process_signal",
     "create_dataset",
     "ShardWriter",
     "INDEX_NAME",
@@ -77,6 +78,14 @@ def process_wav(
     track is shorter than one chunk (reference skip at
     ``create_dataset.py:41-42``)."""
     signal, _ = load_wav(wav_path, expected_sample_rate=cfg.sample_rate)
+    return process_signal(signal, cfg)
+
+
+def process_signal(
+    signal: np.ndarray, cfg: AudioConfig = _CFG
+) -> np.ndarray | None:
+    """In-memory signal -> ``(N, 2, n_bins, n_vec)`` float32 chunks (the
+    pure-compute part of :func:`process_wav`; benchmarked separately)."""
     z = _stft_np(signal, cfg.n_fft, cfg.stft_stride)[:-1, :]  # drop Nyquist
     if z.shape[1] < cfg.n_vec:
         return None

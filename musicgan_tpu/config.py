@@ -52,6 +52,13 @@ class ModelConfig:
     )
     leaky_slope: float = 0.2
     pixel_norm_eps: float = 1e-8
+    # Generator conv-stack implementation (the synthesis-perf frontier —
+    # PERF.md): "xla" (NHWC lax convs), "subpixel" (exact up2x+conv3x3
+    # decomposition, 2.25x fewer MACs), "pallas" (fused NCHW kernel,
+    # ops/conv.py; inference-only — no VJP), or "auto" (one-time per-shape
+    # micro-benchmark at first use picks the winner; training resolves to a
+    # differentiable impl).  All impls are numerically parity-tested.
+    conv_impl: str = "auto"
 
     @property
     def n_stages(self) -> int:

@@ -49,10 +49,17 @@ def _synthesize(params, z, stage: int, model_cfg: ModelConfig):
 
 
 def synthesize_fn(model_cfg: ModelConfig = ModelConfig(), stage: int = 7):
-    """Returns ``f(params, z) -> waveforms`` — the flagship compiled graph."""
+    """Returns ``f(params, z) -> waveforms`` — the flagship compiled graph.
+
+    ``conv_impl="auto"`` resolves to the measured winner on first call
+    (cached per process + persisted; ops/autotune.py) — the resolution
+    happens here, outside the jitted graph, where ``z``'s shape is known.
+    """
+    from .ops.autotune import resolve_conv_impl
 
     def f(params, z):
-        return _synthesize(params, z, stage, model_cfg)
+        cfg = resolve_conv_impl(model_cfg, tuple(z.shape), stage)
+        return _synthesize(params, z, stage, cfg)
 
     return f
 

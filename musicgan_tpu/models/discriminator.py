@@ -22,14 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from .layers import (
-    avg_pool_2x,
-    conv2d,
-    init_conv,
-    init_linear,
-    leaky_relu,
-    linear,
-)
+from .layers import avg_pool_2x, conv2d, leaky_relu, linear
 
 _DEFAULT = ModelConfig()
 
@@ -40,31 +33,30 @@ __all__ = [
 ]
 
 
-def _init_block(key, cin: int, cout: int) -> dict:
-    k1, k2 = jax.random.split(key)
-    return {
-        "conv1": init_conv(k1, 3, 3, cin, cout),
-        "conv2": init_conv(k2, 3, 3, cout, cout),
-    }
-
-
 @functools.partial(jax.jit, static_argnums=(1,))
 def init_discriminator(key, cfg: ModelConfig = _DEFAULT) -> dict:
     """Pytree: 9 down-blocks, 9 MagPhase input heads, final linear
-    (reference ``discriminator.py:60-105``).  Jitted as one graph (see
-    init_generator)."""
-    n = len(cfg.disc_channels)
-    keys = jax.random.split(key, 2 * n + 1)
+    (reference ``discriminator.py:60-105``).  Jitted as one graph with all
+    leaves from ONE uniform (see init_generator)."""
+    from .layers import conv_init_spec, init_flat, linear_init_spec
+
+    specs = []
+    for cin, cout in cfg.disc_channels:
+        specs += conv_init_spec(3, 3, cin, cout)   # conv1
+        specs += conv_init_spec(3, 3, cout, cout)  # conv2
+    for cin, _ in cfg.disc_channels:
+        specs += conv_init_spec(1, 1, 2, cin)      # input head
+    specs += linear_init_spec(cfg.disc_channels[-1][1], 1)
+    leaves = iter(init_flat(key, specs))
+
+    def p():
+        return {"w": next(leaves), "b": next(leaves)}
+
     blocks = [
-        _init_block(keys[i], cin, cout)
-        for i, (cin, cout) in enumerate(cfg.disc_channels)
+        {"conv1": p(), "conv2": p()} for _ in cfg.disc_channels
     ]
-    heads = [
-        init_conv(keys[n + i], 1, 1, 2, cin)
-        for i, (cin, _) in enumerate(cfg.disc_channels)
-    ]
-    clf = init_linear(keys[2 * n], cfg.disc_channels[-1][1], 1)
-    return {"blocks": blocks, "heads": heads, "clf": clf}
+    heads = [p() for _ in cfg.disc_channels]
+    return {"blocks": blocks, "heads": heads, "clf": p()}
 
 
 def _block_apply(p: dict, x: jnp.ndarray, cfg: ModelConfig, dtype) -> jnp.ndarray:

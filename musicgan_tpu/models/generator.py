@@ -31,10 +31,10 @@ from ..config import ModelConfig
 from .layers import (
     conv2d,
     conv3x3_on_nearest_up2x,
-    init_conv,
     leaky_relu,
     pixel_norm,
     upsample_nearest_2x,
+    upsample_nearest_2x_nchw,
 )
 
 _DEFAULT = ModelConfig()
@@ -46,49 +46,54 @@ __all__ = [
 ]
 
 
-def _init_block(key, cin: int, cout: int) -> dict:
-    k1, k2 = jax.random.split(key)
-    return {
-        "conv1": init_conv(k1, 3, 3, cin, cin),
-        "conv2": init_conv(k2, 3, 3, cin, cout),
-    }
-
-
 @functools.partial(jax.jit, static_argnums=(1,))
 def init_generator(key, cfg: ModelConfig = _DEFAULT) -> dict:
     """Parameter pytree: 8 up-blocks + 8 ToMagnPhase heads (all stages).
 
-    Jitted as ONE graph: eager per-layer init would dispatch ~50 separate
-    ops (each a compile on a cold backend)."""
-    n = cfg.n_stages
-    keys = jax.random.split(key, 2 * n)
+    Jitted as ONE graph, with all leaves drawn from ONE uniform
+    (:func:`~musicgan_tpu.models.layers.init_flat`): per-leaf RNG ops cost
+    ~0.5 s of XLA compile each, ~40 s for this model's ~50 leaves."""
+    from .layers import conv_init_spec, init_flat
+
+    specs = []
+    for cin, cout in cfg.gen_channels:
+        specs += conv_init_spec(3, 3, cin, cin)   # conv1
+        specs += conv_init_spec(3, 3, cin, cout)  # conv2
+    for _, cout in cfg.gen_channels:
+        specs += conv_init_spec(1, 1, cout, 2)    # head
+    leaves = iter(init_flat(key, specs))
+
+    def conv_p():
+        return {"w": next(leaves), "b": next(leaves)}
+
     blocks = [
-        _init_block(keys[i], cin, cout)
-        for i, (cin, cout) in enumerate(cfg.gen_channels)
+        {"conv1": conv_p(), "conv2": conv_p()} for _ in cfg.gen_channels
     ]
-    heads = [
-        init_conv(keys[n + i], 1, 1, cout, 2)
-        for i, (_, cout) in enumerate(cfg.gen_channels)
-    ]
+    heads = [conv_p() for _ in cfg.gen_channels]
     return {"blocks": blocks, "heads": heads}
 
 
-def _block_apply(p: dict, x: jnp.ndarray, cfg: ModelConfig, dtype) -> jnp.ndarray:
+def _block_apply(
+    p: dict, x: jnp.ndarray, cfg: ModelConfig, dtype, impl: str = "xla"
+) -> jnp.ndarray:
     """Conv3x3 -> LeakyReLU -> PixelNorm -> Up2x -> Conv3x3 -> LeakyReLU ->
     PixelNorm (reference ``generator.py:16-39``).
 
-    Note: the exact sub-pixel decomposition of Up2x+Conv3x3
+    ``impl`` selects the Up2x+Conv3x3 lowering: ``"xla"`` materializes the
+    upsampled tensor; ``"subpixel"`` uses the exact 4-phase decomposition
     (:func:`~musicgan_tpu.models.layers.conv3x3_on_nearest_up2x`, 2.25x
-    fewer MACs) measured ~9% SLOWER end-to-end on the round-1 chip — the
-    4-phase interleave relayout outweighs the FLOP savings when the conv
-    is not FLOP-bound (PERF.md).  Kept as an op for re-evaluation on
-    full-bandwidth hardware.
+    fewer MACs, no 4x-sized intermediate in HBM) — equal results, different
+    speed depending on whether the conv is FLOP- or bandwidth-bound
+    (PERF.md).  ``ModelConfig.conv_impl="auto"`` measures and picks.
     """
     x = pixel_norm(leaky_relu(conv2d(x, p["conv1"], dtype), cfg.leaky_slope),
                    cfg.pixel_norm_eps)
-    x = upsample_nearest_2x(x)
-    x = pixel_norm(leaky_relu(conv2d(x, p["conv2"], dtype), cfg.leaky_slope),
-                   cfg.pixel_norm_eps)
+    if impl == "subpixel":
+        x = conv3x3_on_nearest_up2x(x, p["conv2"], dtype)
+    else:
+        x = upsample_nearest_2x(x)
+        x = conv2d(x, p["conv2"], dtype)
+    x = pixel_norm(leaky_relu(x, cfg.leaky_slope), cfg.pixel_norm_eps)
     return x
 
 
@@ -110,12 +115,25 @@ def generator_forward(
 
     ``stage`` must be a Python int (static under jit); ``alpha`` may be a
     traced scalar.
+
+    ``cfg.conv_impl`` selects the conv-stack lowering.  ``"auto"`` here
+    falls back to ``"xla"``: resolution to a measured winner happens
+    *before* tracing, in the entry points (generate / train / bench) via
+    :func:`musicgan_tpu.ops.autotune.resolve_conv_impl`.
     """
+    impl = cfg.conv_impl
+    if impl == "pallas":
+        return _generator_forward_nchw(params, z, stage, alpha, cfg)
+    if impl == "auto":
+        impl = "xla"
+
     out = z
     for i in range(stage):
-        out = _block_apply(params["blocks"][i], out, cfg, compute_dtype)
+        out = _block_apply(params["blocks"][i], out, cfg, compute_dtype, impl)
 
-    out_block = _block_apply(params["blocks"][stage], out, cfg, compute_dtype)
+    out_block = _block_apply(
+        params["blocks"][stage], out, cfg, compute_dtype, impl
+    )
     out_mp = _head_apply(params["heads"][stage], out_block, compute_dtype)
 
     if stage > 0:
@@ -123,6 +141,55 @@ def generator_forward(
         old = upsample_nearest_2x(old)
         return alpha * out_mp + (1.0 - alpha) * old
     return out_mp
+
+
+def _generator_forward_nchw(
+    params: dict, z: jnp.ndarray, stage: int, alpha, cfg: ModelConfig
+) -> jnp.ndarray:
+    """Pallas fast path: the whole conv stack runs in NCHW via the fused
+    3x3 kernel (``ops/conv.py`` — conv + bias + LeakyReLU + PixelNorm in
+    one VMEM-resident matmul per tile; W on the 128-lane dim where this
+    model is wide).  NHWC in/out at the edges for API parity; the two
+    transposes act on the tiny latent and 2-channel image only.
+
+    Inference-only (``pallas_call`` here defines no VJP); ``build_step``
+    rejects it for training.
+    """
+    from ..ops.conv import fused_conv3x3
+
+    interpret = jax.default_backend() == "cpu"
+    slope = cfg.leaky_slope
+    eps = cfg.pixel_norm_eps
+
+    def block_nchw(p, x):
+        x = fused_conv3x3(
+            x, p["conv1"]["w"], p["conv1"]["b"], slope=slope,
+            pixel_norm=True, eps=eps, interpret=interpret,
+        )
+        x = upsample_nearest_2x_nchw(x)
+        return fused_conv3x3(
+            x, p["conv2"]["w"], p["conv2"]["b"], slope=slope,
+            pixel_norm=True, eps=eps, interpret=interpret,
+        )
+
+    def head_nchw(p, x):
+        # 1x1 conv as a channel matmul: (B, C, H, W) -> (B, 2, H, W).
+        w = p["w"][0, 0]  # (C, 2)
+        y = jnp.einsum("bchw,ck->bkhw", x, w) + p["b"][None, :, None, None]
+        return jnp.tanh(y)
+
+    out = jnp.transpose(z, (0, 3, 1, 2))
+    for i in range(stage):
+        out = block_nchw(params["blocks"][i], out)
+
+    out_block = block_nchw(params["blocks"][stage], out)
+    out_mp = head_nchw(params["heads"][stage], out_block)
+
+    if stage > 0:
+        old = head_nchw(params["heads"][stage - 1], out)
+        old = upsample_nearest_2x_nchw(old)
+        out_mp = alpha * out_mp + (1.0 - alpha) * old
+    return jnp.transpose(out_mp, (0, 2, 3, 1))
 
 
 def generator_param_count(cfg: ModelConfig = _DEFAULT, stage: int | None = None) -> int:

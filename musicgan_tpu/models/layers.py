@@ -16,12 +16,17 @@ import jax.numpy as jnp
 __all__ = [
     "init_conv",
     "init_linear",
+    "init_flat",
+    "conv_init_spec",
+    "linear_init_spec",
     "conv2d",
     "linear",
     "leaky_relu",
     "pixel_norm",
     "upsample_nearest_2x",
+    "upsample_nearest_2x_nchw",
     "avg_pool_2x",
+    "conv3x3_on_nearest_up2x",
 ]
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
@@ -37,6 +42,36 @@ def init_conv(key, kh: int, kw: int, cin: int, cout: int) -> dict:
         ),
         "b": jax.random.uniform(bk, (cout,), jnp.float32, -bound, bound),
     }
+
+
+def conv_init_spec(kh: int, kw: int, cin: int, cout: int) -> list:
+    """(shape, bound) pairs for one conv's W and b under the PyTorch
+    default init (see init_conv)."""
+    bound = 1.0 / (cin * kh * kw) ** 0.5
+    return [((kh, kw, cin, cout), bound), ((cout,), bound)]
+
+
+def linear_init_spec(cin: int, cout: int) -> list:
+    bound = 1.0 / cin**0.5
+    return [((cin, cout), bound), ((cout,), bound)]
+
+
+def init_flat(key, specs: list) -> list:
+    """Draw every leaf in ``specs`` (a list of ``(shape, bound)``) from ONE
+    uniform: ``U(+-bound)`` per leaf, exactly like per-leaf ``init_conv``
+    draws but compiled as a single RNG kernel.  Per-leaf threefry ops cost
+    ~0.5 s of XLA compile EACH (measured: a ~90-leaf model init took 80 s
+    cold; this form takes <1 s) — that tax hits every cold start.
+    """
+    import numpy as np
+
+    sizes = [int(np.prod(s)) for s, _ in specs]
+    u = jax.random.uniform(key, (sum(sizes),), jnp.float32, -1.0, 1.0)
+    out, off = [], 0
+    for (shape, bound), n in zip(specs, sizes):
+        out.append(u[off : off + n].reshape(shape) * bound)
+        off += n
+    return out
 
 
 def init_linear(key, cin: int, cout: int) -> dict:
@@ -94,6 +129,13 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def upsample_nearest_2x_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample, NCHW (the Pallas fast path's layout)."""
+    b, c, h, w = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :, None], (b, c, h, 2, w, 2))
+    return x.reshape(b, c, h * 2, w * 2)
 
 
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:

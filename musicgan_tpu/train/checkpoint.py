@@ -39,10 +39,15 @@ class CheckpointManager:
 
     def save(self, save_idx: int, state: TrainState, meta: dict) -> str:
         d = self._dir(save_idx)
+        # orbax save is collective (every process participates); the meta
+        # sidecar is written once, by the lead process, after the state is
+        # durable — meta.json's presence marks the checkpoint complete
+        # (see saved_indices).
         self._ckptr.save(os.path.join(d, "state"), state, force=True)
         self._ckptr.wait_until_finished()
-        with open(os.path.join(d, "meta.json"), "w") as f:
-            json.dump(meta, f, indent=1)
+        if jax.process_index() == 0:
+            with open(os.path.join(d, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=1)
         return d
 
     def saved_indices(self) -> list[int]:

@@ -42,15 +42,20 @@ def train(
     model_cfg: ModelConfig = ModelConfig(),
     resume: bool = False,
     max_iters: Optional[int] = None,
-    mesh=None,
+    mesh="auto",
 ) -> TrainState:
-    """Run (or resume) progressive WGAN-GP training; returns final state."""
+    """Run (or resume) progressive WGAN-GP training; returns final state.
+
+    ``mesh``: ``"auto"`` (default) builds a data-parallel mesh over all
+    visible devices; ``None`` forces single-device; or pass an explicit
+    ``jax.sharding.Mesh``.
+    """
     dataset = SpectrogramDataset(input_dataset_path)
     assert len(dataset) >= train_cfg.batch_size, (
         f"dataset has {len(dataset)} samples < batch {train_cfg.batch_size}"
     )
 
-    if mesh is None:
+    if isinstance(mesh, str) and mesh == "auto":
         mesh = make_mesh(axis=train_cfg.data_axis)
     n_dev = mesh.size if mesh is not None else 1
     assert train_cfg.batch_size % max(n_dev, 1) == 0, (
@@ -79,7 +84,10 @@ def train(
         max_stage=train_cfg.max_stage,
     )
     saver = Saver(output_dir, train_cfg, model_cfg)
-    logger = MetricLogger(output_dir, train_cfg.metric_window)
+    # Observability is per-run, not per-process: only the lead process
+    # writes the CSV / previews and prints (checkpointing stays collective).
+    lead = jax.process_index() == 0
+    logger = MetricLogger(output_dir, train_cfg.metric_window) if lead else None
 
     start_epoch = 0
     if resume:
@@ -90,10 +98,11 @@ def train(
             saver.counter = int(meta["saver_counter"])
             saver.curr_save = latest + 1
             start_epoch = int(meta.get("epoch", 0))
-            print(
-                f"[resume] save_{latest}: iter={int(state.iter_idx)} "
-                f"stage={grower.curr_grow} epoch={start_epoch}"
-            )
+            if lead:
+                print(
+                    f"[resume] save_{latest}: iter={int(state.iter_idx)} "
+                    f"stage={grower.curr_grow} epoch={start_epoch}"
+                )
 
     max_stage = (
         train_cfg.max_stage
@@ -145,13 +154,16 @@ def train(
     t_start = time.perf_counter()
     done = False
 
-    print(
-        f"[train:{run_name}] {len(dataset)} samples, batch "
-        f"{train_cfg.batch_size}, {n_dev} device(s), start stage "
-        f"{grower.curr_grow}"
-    )
+    if lead:
+        print(
+            f"[train:{run_name}] {len(dataset)} samples, batch "
+            f"{train_cfg.batch_size}, {n_dev} device(s), "
+            f"{num_hosts} host(s), start stage {grower.curr_grow}"
+        )
 
     def log_metrics(epoch, m_iter, m_stage, m, m_gen, alpha, row_idx=None):
+        if logger is None:
+            return
         host_m = {
             k: float(v if row_idx is None else v[row_idx]) for k, v in m.items()
         }
@@ -191,12 +203,13 @@ def train(
             return
         # ProGAN growth: counters advance by the *global* batch.
         if grower.grow(train_cfg.batch_size) and grower.curr_grow <= max_stage:
-            print(
-                f"[grow] stage -> {grower.curr_grow} "
-                f"(size {grower.image_size}x{grower.image_size}), "
-                f"curr_save = {saver.curr_save - 1}",
-                flush=True,
-            )
+            if lead:
+                print(
+                    f"[grow] stage -> {grower.curr_grow} "
+                    f"(size {grower.image_size}x{grower.image_size}), "
+                    f"curr_save = {saver.curr_save - 1}",
+                    flush=True,
+                )
 
     def run_single(epoch, x_raw):
         nonlocal state
@@ -292,5 +305,6 @@ def train(
         while buf and not done:
             run_single(epoch, buf.pop(0))
 
-    logger.close()
+    if logger is not None:
+        logger.close()
     return state

@@ -89,7 +89,10 @@ class Saver:
             state,
             {**meta, "saver_counter": self.counter, "save_idx": self.curr_save},
         )
-        self._save_previews(state, stage, alpha)
+        # Checkpointing is collective (orbax needs every process), previews
+        # are not: only the lead process renders PNGs.
+        if jax.process_index() == 0:
+            self._save_previews(state, stage, alpha)
         self.curr_save += 1
         return True
 

@@ -31,6 +31,7 @@ step (``train.py:180-186,218-221``).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -84,13 +85,11 @@ def make_optimizers(cfg: TrainConfig):
     )
 
 
-def init_train_state(
-    key: jax.Array,
-    model_cfg: ModelConfig = ModelConfig(),
-    train_cfg: TrainConfig = TrainConfig(),
-) -> TrainState:
-    """Build the full run state in ONE jitted graph (eager init would
-    dispatch ~100 individually-compiled ops on a cold backend)."""
+@functools.lru_cache(maxsize=None)
+def _init_fn(model_cfg: ModelConfig, train_cfg: TrainConfig):
+    # Memoized so repeated init_train_state calls (resume templates, tests,
+    # benches) reuse ONE compiled graph — a fresh closure per call would
+    # recompile every time.
     from ..models import init_discriminator, init_generator
 
     opt_g, opt_d = make_optimizers(train_cfg)
@@ -109,7 +108,17 @@ def init_train_state(
             iter_idx=jnp.zeros((), jnp.int32),
         )
 
-    return _init(key)
+    return _init
+
+
+def init_train_state(
+    key: jax.Array,
+    model_cfg: ModelConfig = ModelConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+) -> TrainState:
+    """Build the full run state in ONE jitted graph (eager init would
+    dispatch ~100 individually-compiled ops on a cold backend)."""
+    return _init_fn(model_cfg, train_cfg)(key)
 
 
 def _make_iteration(
@@ -121,6 +130,17 @@ def _make_iteration(
     """Shared per-iteration core.  Returns ``iteration(state, x_raw, alpha,
     do_g)`` where ``do_g`` may be a Python bool (static; dead branch pruned
     at trace time) or a traced bool (lowered to ``lax.cond``)."""
+    from ..ops.autotune import resolve_conv_impl
+
+    # Training differentiates through the generator: resolve conv_impl to a
+    # differentiable lowering (rejects the VJP-less Pallas impl explicitly).
+    z_shape = (
+        train_cfg.batch_size, model_cfg.latent_height,
+        model_cfg.latent_width, model_cfg.rand_channels,
+    )
+    model_cfg = resolve_conv_impl(
+        model_cfg, z_shape, stage, for_training=True
+    )
     size = 4 * 2**stage
     disc_stage = len(model_cfg.disc_channels) - 2 - stage  # 7 -> 0
     dtype = (
@@ -257,6 +277,7 @@ def _apply_shardings(fn, mesh, data_axis, n_extra_repl: int, data_rank_prefix=0)
     )
 
 
+@functools.lru_cache(maxsize=None)
 def build_step(
     stage: int,
     with_gen: bool,
@@ -266,7 +287,9 @@ def build_step(
     data_axis: str | None = None,
     pre_scaled: bool = False,
 ):
-    """Compile a one-iteration graph for ``stage``.
+    """Compile a one-iteration graph for ``stage``.  Memoized on all
+    arguments (configs are frozen dataclasses, ``Mesh`` is hashable): the
+    same logical step is ONE compiled graph process-wide.
 
     Returns ``step(state, x_raw, alpha) -> (state, metrics)``; ``x_raw`` is
     ``(B, 2, H, W)`` float32 (full-res, or stage-res when ``pre_scaled``),
@@ -284,6 +307,7 @@ def build_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=None)
 def build_chunk_step(
     stage: int,
     chunk: int,
@@ -294,7 +318,7 @@ def build_chunk_step(
     pre_scaled: bool = False,
 ):
     """Compile a K-iteration graph: ``chunk_step(state, x_stack, alphas,
-    gen_mask) -> (state, metrics_stack)``.
+    gen_mask) -> (state, metrics_stack)``.  Memoized like ``build_step``.
 
     ``x_stack``: ``(K, B, 2, H, W)``; ``alphas``: ``(K,)`` fade-in per
     iteration; ``gen_mask``: ``(K,)`` bool, True where the generator

@@ -1,0 +1,51 @@
+"""Subprocess entry for the 2-process multi-host test (NOT a pytest file).
+
+Each process provisions 2 virtual CPU devices, joins the jax.distributed
+cluster, and runs a few train iterations over the global 4-device mesh —
+executing the real multi-host paths: ``initialize_distributed``
+(parallel/mesh.py), the host-divisibility assert and
+``jax.make_array_from_process_local_data`` batch assembly (train/loop.py),
+and the collective orbax checkpoint with lead-only meta/preview/CSV writes.
+
+Usage: python _multihost_runner.py COORD PID DATASET_DIR OUT_DIR
+"""
+
+import sys
+
+
+def main() -> None:
+    coord, pid, ds, out = (
+        sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    )
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    import os
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(tests_dir))  # repo root
+    from tiny_cfg import TINY_MODEL
+
+    from musicgan_tpu.config import TrainConfig
+    from musicgan_tpu.parallel import initialize_distributed
+    from musicgan_tpu.train import train
+
+    initialize_distributed(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4
+
+    cfg = TrainConfig(
+        batch_size=8, save_every=4, log_every=2, nb_preview=1,
+        chunk_steps=1, seed=0,
+    )
+    train("mh", ds, out, cfg, TINY_MODEL, max_iters=4)
+    print(f"[runner] process {pid} finished OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,49 @@ def test_grower_transform_sizes(rng):
     for size in (4, 32, 512):
         out = tr.grower_transform(jnp.asarray(x), size)
         assert out.shape == (2, 2, size, size)
+
+
+def test_magn_phase_to_wav_end_to_end_golden(rng):
+    """The ENTIRE inverse pipeline matches a torch reimplementation of the
+    reference's ``magn_phase_to_wav`` (``audio/functions.py:97-137``) on a
+    broadband fixture — one test that fails if ANY stage drifts (bark
+    unscale, re-norm, phase accumulate, mod, complex assembly, Nyquist row,
+    normalized iSTFT).  The compositional tests above cover each stage;
+    this covers their composition."""
+    import torch as th
+
+    n_fft, hop, n_bins = 1024, 256, 512
+    mp_np = rng.uniform(-1.0, 1.0, (2, 2, n_bins, 64)).astype(np.float32)
+
+    # --- torch reimplementation of the reference inverse -----------------
+    mp = th.from_numpy(mp_np)
+    flat = mp.permute(1, 2, 0, 3).flatten(2, 3)
+    magn, phase = flat[0], flat[1]
+
+    magn = (magn + 1.0) / 2.0
+    scale = 6.0 * th.arcsinh(th.linspace(20.0, 22050.0, n_bins) / 600.0)
+    magn = magn / (scale / scale.norm())[:, None]          # bark unscale
+    magn = magn / (magn.max() - magn.min())
+
+    phase = (phase + 1.0) / 2.0 * 2.0 * np.pi - np.pi
+    for i in range(phase.size(1) - 1):                      # serial loop,
+        phase[:, i + 1] = phase[:, i] + phase[:, i + 1]     # as the reference
+    phase = phase % (2.0 * np.pi)
+
+    real = th.cat([magn * th.cos(phase), th.zeros(1, magn.size(1))], dim=0)
+    imag = th.cat([magn * th.sin(phase), th.zeros(1, magn.size(1))], dim=0)
+    z = real + 1j * imag
+
+    # torchaudio.inverse_spectrogram(normalized=True) == un-normalize by the
+    # window norm, then centered th.istft.
+    win = th.hann_window(n_fft)
+    golden = th.istft(
+        z * win.pow(2.0).sum().sqrt(), n_fft=n_fft, hop_length=hop,
+        win_length=n_fft, window=win, center=True,
+    ).numpy()
+
+    ours = np.asarray(fn.magn_phase_to_signal(jnp.asarray(mp_np)))
+
+    assert ours.shape == golden.shape
+    scale_ref = np.abs(golden).max()
+    np.testing.assert_allclose(ours, golden, atol=5e-5 * scale_ref, rtol=0)

@@ -103,7 +103,9 @@ def test_batch_iterator_producer_exits_when_abandoned():
 
 
 def test_batch_iterator_host_sharding(tmp_path):
-    # hosts see disjoint strided slices of one global permutation
+    """Hosts see disjoint per-batch blocks of one global permutation, and
+    interleaving host batches reconstructs the single-host batch stream
+    exactly (the invariant the multi-host equality test relies on)."""
     wav_dir = tmp_path / "w"
     wav_dir.mkdir()
     _make_wav(str(wav_dir / "long.wav"), seconds=3.05 * 8)
@@ -114,20 +116,21 @@ def test_batch_iterator_host_sharding(tmp_path):
     n = len(ds)
     assert n >= 4
 
-    def collect(host, hosts):
-        seen = []
-        for b in batch_iterator(ds, 1, seed=7, host_id=host, num_hosts=hosts,
-                                drop_last=False):
-            seen.append(b[0])
-        return seen
+    def collect(host, hosts, batch):
+        return list(batch_iterator(ds, batch, seed=7, host_id=host,
+                                   num_hosts=hosts))
 
-    a = collect(0, 2)
-    b = collect(1, 2)
-    assert len(a) + len(b) == n
+    a = collect(0, 2, 1)
+    b = collect(1, 2, 1)
+    single = collect(0, 1, 2)
+    assert len(a) == len(b) == len(single) == n // 2
     # disjoint: no identical sample arrays between the two hosts
     for x in a:
         for y in b:
             assert not np.array_equal(x, y)
+    # global-batch parity: [host0 block; host1 block] == single-host batch
+    for x, y, s in zip(a, b, single):
+        np.testing.assert_array_equal(np.concatenate([x, y], axis=0), s)
 
 
 def test_reference_pt_directory_compat(tmp_path):

@@ -152,3 +152,65 @@ def test_subpixel_upsample_conv_exactness():
     ref = conv2d(upsample_nearest_2x(x), p)
     got = conv3x3_on_nearest_up2x(x, p)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+# ------------------------------------------------------- conv_impl paths ---
+
+def test_generator_forward_subpixel_matches_xla(gen_params):
+    """The subpixel conv stack is numerically equal to the XLA lowering,
+    at a mid-fade stage and the full-grown stage."""
+    import dataclasses
+
+    z = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 2, 2, 32)), jnp.float32
+    )
+    sub = dataclasses.replace(CFG, conv_impl="subpixel")
+    xla = dataclasses.replace(CFG, conv_impl="xla")
+    for stage, alpha in ((0, 1.0), (3, 0.4), (7, 1.0)):
+        a = generator_forward(gen_params, z, stage, alpha, xla)
+        b = generator_forward(gen_params, z, stage, alpha, sub)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-5,
+            err_msg=f"stage {stage}",
+        )
+
+
+def test_generator_forward_pallas_matches_xla(gen_params):
+    """The NCHW Pallas fast path (interpret mode on CPU) equals the NHWC
+    XLA forward, including the fade-in head mix."""
+    import dataclasses
+
+    z = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 2, 2, 32)), jnp.float32
+    )
+    pls = dataclasses.replace(CFG, conv_impl="pallas")
+    xla = dataclasses.replace(CFG, conv_impl="xla")
+    for stage, alpha in ((0, 1.0), (2, 0.3)):
+        a = generator_forward(gen_params, z, stage, alpha, xla)
+        b = generator_forward(gen_params, z, stage, alpha, pls)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-5,
+            err_msg=f"stage {stage}",
+        )
+
+
+def test_resolve_conv_impl_semantics():
+    """auto -> concrete on CPU; explicit impls pass through; training
+    rejects the VJP-less Pallas impl."""
+    import dataclasses
+
+    from musicgan_tpu.ops.autotune import resolve_conv_impl
+
+    z_shape = (1, 2, 2, 32)
+    got = resolve_conv_impl(CFG, z_shape, stage=0)
+    assert got.conv_impl == "xla"  # CPU: no measurement, safe default
+
+    sub = dataclasses.replace(CFG, conv_impl="subpixel")
+    assert resolve_conv_impl(sub, z_shape, 0).conv_impl == "subpixel"
+    assert resolve_conv_impl(sub, z_shape, 0, for_training=True).conv_impl \
+        == "subpixel"
+
+    pls = dataclasses.replace(CFG, conv_impl="pallas")
+    assert resolve_conv_impl(pls, z_shape, 0).conv_impl == "pallas"
+    with pytest.raises(ValueError, match="inference-only"):
+        resolve_conv_impl(pls, z_shape, 0, for_training=True)

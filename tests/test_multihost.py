@@ -1,0 +1,108 @@
+"""2-process multi-host data-parallel training test (SURVEY.md §2.4).
+
+Spawns two ``jax.distributed`` CPU processes (2 virtual devices each) that
+train over the global 4-device mesh, then verifies against an in-process
+single-host run:
+
+* final checkpoint state matches (the block host-sharding in
+  ``batch_iterator`` makes global batch composition identical; remaining
+  differences are cross-device-count reduction order -> allclose);
+* only the lead process wrote previews and the metrics CSV.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from tiny_cfg import TINY_MODEL
+
+from musicgan_tpu.config import TrainConfig
+from musicgan_tpu.train.checkpoint import CheckpointManager
+from musicgan_tpu.train.step import init_train_state
+
+_RUNNER = os.path.join(os.path.dirname(__file__), "_multihost_runner.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _synth_dataset(tmp_path, n=16):
+    from musicgan_tpu.audio.ingest import ShardWriter
+
+    w = ShardWriter(str(tmp_path / "ds"), samples_per_shard=6)
+    w.add(
+        np.random.default_rng(0)
+        .uniform(-1, 1, (n, 2, 512, 512))
+        .astype(np.float32)
+    )
+    w.close()
+    return str(tmp_path / "ds")
+
+
+def test_two_process_training_matches_single_host(tmp_path):
+    import jax
+
+    ds = _synth_dataset(tmp_path)
+    out_mh = str(tmp_path / "out_mh")
+    coord = f"127.0.0.1:{_free_port()}"
+
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _RUNNER, coord, str(pid), ds, out_mh],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(_RUNNER)),
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"runner failed:\n{o[-3000:]}"
+
+    # ---- lead-only observability artifacts -------------------------------
+    pngs = [f for f in os.listdir(out_mh) if f.endswith(".png")]
+    assert sorted(pngs) == ["magn_0_ID0.png", "phase_0_ID0.png"]
+    with open(os.path.join(out_mh, "metrics.csv")) as f:
+        mh_rows = f.readlines()
+
+    # ---- single-host comparison run (same seed/schedule, 8-dev mesh) -----
+    cfg = TrainConfig(
+        batch_size=8, save_every=4, log_every=2, nb_preview=1,
+        chunk_steps=1, seed=0,
+    )
+    out_1 = str(tmp_path / "out_single")
+    from musicgan_tpu.train import train
+
+    train("single", ds, out_1, cfg, TINY_MODEL, max_iters=4)
+    with open(os.path.join(out_1, "metrics.csv")) as f:
+        single_rows = f.readlines()
+    assert len(mh_rows) == len(single_rows)  # no duplicated writers
+
+    template = init_train_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    mh_state, mh_meta = CheckpointManager(
+        os.path.join(out_mh, "checkpoints")
+    ).restore(0, template)
+    s1_state, s1_meta = CheckpointManager(
+        os.path.join(out_1, "checkpoints")
+    ).restore(0, template)
+    assert mh_meta["iter_idx"] == s1_meta["iter_idx"]
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves((mh_state.gen_params, mh_state.disc_params)),
+        jax.tree_util.tree_leaves((s1_state.gen_params, s1_state.disc_params)),
+    ):
+        # Absolute tolerance only: cross-device-count reduction order shifts
+        # near-zero Adam-updated params by ~1e-5 over a few steps, which
+        # makes any rtol meaningless for those elements.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=0
+        )

@@ -15,6 +15,9 @@ from musicgan_tpu.train import Grower, build_step, init_train_state
 from musicgan_tpu.train.checkpoint import CheckpointManager
 
 MODEL_CFG = ModelConfig()
+# Tiny channel tables (shared with the multi-host test): loop/step
+# MECHANICS don't need the full-size model — see tests/tiny_cfg.py.
+from tiny_cfg import TINY_MODEL as TINY_CFG  # noqa: E402
 FAST_CFG = TrainConfig(batch_size=8, save_every=5, log_every=2, nb_preview=1)
 
 
@@ -92,7 +95,7 @@ def test_grower_image_size():
 def state0():
     # function-scoped: build_step donates the input state, so each test
     # needs a fresh (deterministic) state
-    return init_train_state(jax.random.PRNGKey(0), MODEL_CFG, FAST_CFG)
+    return init_train_state(jax.random.PRNGKey(0), TINY_CFG, FAST_CFG)
 
 
 def _snapshot(tree):
@@ -107,7 +110,7 @@ def _raw_batch(batch=8):
 
 
 def test_d_step_updates_disc_only(state0):
-    step = build_step(0, with_gen=False, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
+    step = build_step(0, with_gen=False, model_cfg=TINY_CFG, train_cfg=FAST_CFG)
     before = _snapshot(state0)
     state1, metrics = step(state0, _raw_batch(), jnp.float32(1.0))
     assert not _leaf_equal(before.disc_params, state1.disc_params)
@@ -119,7 +122,7 @@ def test_d_step_updates_disc_only(state0):
 
 
 def test_dg_step_updates_both(state0):
-    step = build_step(0, with_gen=True, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
+    step = build_step(0, with_gen=True, model_cfg=TINY_CFG, train_cfg=FAST_CFG)
     before = _snapshot(state0)
     state1, metrics = step(state0, _raw_batch(), jnp.float32(1.0))
     assert not _leaf_equal(before.disc_params, state1.disc_params)
@@ -127,11 +130,15 @@ def test_dg_step_updates_both(state0):
     assert np.isfinite(float(metrics["gen_loss"]))
 
 
-def test_step_decreases_d_loss_over_iters(state0):
-    """A few critic steps on fixed data should reduce the critic loss."""
+def test_step_decreases_d_loss_over_iters():
+    """A few critic steps on fixed data should reduce the critic loss.
+
+    Runs at FULL size (the suite's one full-size train-graph smoke): the
+    tiny critic's GP term dominates its weak Wasserstein signal and the
+    property doesn't hold at toy scale."""
+    state = init_train_state(jax.random.PRNGKey(0), MODEL_CFG, FAST_CFG)
     step = build_step(0, with_gen=False, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
     x = _raw_batch()
-    state = state0
     losses = []
     for _ in range(8):
         state, m = step(state, x, jnp.float32(1.0))
@@ -144,7 +151,7 @@ def test_step_sharded_matches_semantics(state0):
     mesh = make_mesh()
     assert mesh is not None and mesh.size == 8
     step = build_step(
-        0, with_gen=True, model_cfg=MODEL_CFG, train_cfg=FAST_CFG,
+        0, with_gen=True, model_cfg=TINY_CFG, train_cfg=FAST_CFG,
         mesh=mesh, data_axis="data",
     )
     from musicgan_tpu.parallel import data_sharding
@@ -160,10 +167,10 @@ def test_gradient_penalty_unit_norm_property():
     gradient norm.  At init the norm is tiny (penalty ~ 10); scaling the
     final layer up moves the norm toward 1 (penalty drops), and scaling it
     enormously pushes the norm far past 1 (penalty explodes)."""
-    step = build_step(0, with_gen=False, model_cfg=MODEL_CFG, train_cfg=FAST_CFG)
+    step = build_step(0, with_gen=False, model_cfg=TINY_CFG, train_cfg=FAST_CFG)
 
     def gp_with_clf_scale(scale):
-        s = init_train_state(jax.random.PRNGKey(0), MODEL_CFG, FAST_CFG)
+        s = init_train_state(jax.random.PRNGKey(0), TINY_CFG, FAST_CFG)
         dp = dict(s.disc_params)
         dp["clf"] = jax.tree_util.tree_map(lambda w: w * scale, dp["clf"])
         _, m = step(s._replace(disc_params=dp), _raw_batch(), jnp.float32(1.0))
@@ -193,9 +200,10 @@ def test_train_loop_end_to_end_with_resume(tmp_path):
     ds = _synth_dataset(tmp_path)
     out = str(tmp_path / "out")
     cfg = dataclasses.replace(
-        FAST_CFG, nb_epoch=50, save_every=4, log_every=3, nb_preview=1
+        FAST_CFG, nb_epoch=50, save_every=4, log_every=3, nb_preview=1,
+        chunk_steps=1,  # single-step dispatch; chunking is covered below
     )
-    state = train("t", ds, out, cfg, MODEL_CFG, max_iters=6)
+    state = train("t", ds, out, cfg, TINY_CFG, max_iters=6, mesh=None)
     assert int(state.iter_idx) == 6
     # checkpoint fired at iter 4
     ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
@@ -205,7 +213,8 @@ def test_train_loop_end_to_end_with_resume(tmp_path):
     assert os.path.isfile(os.path.join(out, "metrics.csv"))
 
     # resume: picks up from iter 4 and continues to 10
-    state2 = train("t", ds, out, cfg, MODEL_CFG, resume=True, max_iters=10)
+    state2 = train("t", ds, out, cfg, TINY_CFG, resume=True, max_iters=10,
+                   mesh=None)
     assert int(state2.iter_idx) == 10
 
 
@@ -234,15 +243,15 @@ def test_chunk_step_bit_identical_to_single_steps(state0):
 
     cfg = dataclasses.replace(FAST_CFG, host_pipeline=True)
 
-    state_a = init_train_state(jax.random.PRNGKey(3), MODEL_CFG, cfg)
+    state_a = init_train_state(jax.random.PRNGKey(3), TINY_CFG, cfg)
     for i in range(k):
-        step = build_step(2, bool(gen_mask[i]), MODEL_CFG, cfg,
+        step = build_step(2, bool(gen_mask[i]), TINY_CFG, cfg,
                           pre_scaled=True)
         state_a, m = step(state_a, jnp.asarray(xs[i]), jnp.float32(alphas[i]))
     a_leaves = jax.tree_util.tree_map(np.asarray, state_a)
 
-    state_b = init_train_state(jax.random.PRNGKey(3), MODEL_CFG, cfg)
-    chunk = build_chunk_step(2, k, MODEL_CFG, cfg, pre_scaled=True)
+    state_b = init_train_state(jax.random.PRNGKey(3), TINY_CFG, cfg)
+    chunk = build_chunk_step(2, k, TINY_CFG, cfg, pre_scaled=True)
     state_b, mstack = chunk(
         state_b, jnp.asarray(xs), jnp.asarray(alphas), jnp.asarray(gen_mask)
     )
@@ -263,7 +272,7 @@ def test_train_loop_chunked_matches_iteration_count(tmp_path):
         FAST_CFG, nb_epoch=50, save_every=7, log_every=4, nb_preview=1,
         chunk_steps=3,
     )
-    state = train("t", ds, out, cfg, MODEL_CFG, max_iters=13)
+    state = train("t", ds, out, cfg, TINY_CFG, max_iters=13, mesh=None)
     assert int(state.iter_idx) == 13
     ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
     assert ckpt.latest() == 0  # fired at iter 7 despite chunking
