@@ -159,3 +159,30 @@ def test_load_uint8_wav(tmp_path):
     sig, sr = load_wav(str(tmp_path / "u8.wav"))
     assert sr == 44100 and sig.dtype == np.float32
     assert 0.7 < np.abs(sig).max() <= 1.0  # 100/128 scaled into [-1, 1]
+
+
+def test_phase_diff_equals_unwrap_then_diff(rng):
+    """The elementwise wrapped difference == diff(unwrap(phase)) — the
+    cumsum in unwrap cancels under the diff, so the ingest pipeline can
+    skip it (and its float accumulation) entirely."""
+    ph = rng.uniform(-np.pi, np.pi, (64, 400)).astype(np.float32)
+    # Near-real bins produce EXACT +-float32(pi) angles whose diff exceeds
+    # true pi — the parity-critical edge case (sign of the wrap flips).
+    ph[0, ::2], ph[0, 1::2] = np.float32(np.pi), 0.0
+    ph[1, ::2], ph[1, 1::2] = 0.0, np.float32(-np.pi)
+    want = np.diff(np.unwrap(ph.astype(np.float64), axis=1), axis=1)
+    got = ingest._phase_diff_np(ph)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_process_signal_torch_tail_matches_numpy(rng):
+    """The ATen-kernel post-FFT tail is numerically equal to the numpy
+    default (kept for hosts where ATen wins)."""
+    sr = 44100
+    sig = (
+        0.2 * np.sin(2 * np.pi * 330 * np.arange(sr * 4) / sr)
+        + 0.05 * rng.standard_normal(sr * 4)
+    ).astype(np.float32)
+    a = ingest.process_signal(sig, backend="numpy")
+    b = ingest.process_signal(sig, backend="torch")
+    np.testing.assert_allclose(a, b, atol=2e-6)
