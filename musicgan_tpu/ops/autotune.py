@@ -35,6 +35,9 @@ __all__ = ["resolve_conv_impl", "measure_conv_impls"]
 _CACHE: dict = {}
 _K = 4          # forwards per timed dispatch
 _REPS = 2       # dispatches per candidate (best-of)
+_CACHE_VERSION = 2  # bump when any impl's kernel changes: invalidates
+# persisted winners picked against the old code (v1: pallas tile bug
+# disqualified it, freezing 'xla' on disk)
 
 # Differentiable impls (trainable); "pallas" defines no VJP.
 TRAINING_IMPLS = ("xla", "subpixel")
@@ -118,7 +121,9 @@ def measure_conv_impls(
                 t0 = time.perf_counter()
                 np.asarray(many(params, z))
                 best = min(best, (time.perf_counter() - t0 - rtt) / _K)
-            times[impl] = best
+            # rtt jitter can overshoot sub-ms forwards; clamp for display
+            # (ranking is unaffected: the same rtt was subtracted from all)
+            times[impl] = max(best, 0.0)
         except Exception as e:  # noqa: BLE001 — a failing impl just loses
             print(f"[autotune] {impl} failed ({type(e).__name__}); skipped")
             times[impl] = float("inf")
@@ -149,7 +154,10 @@ def resolve_conv_impl(
         return dataclasses.replace(cfg, conv_impl="xla")
 
     candidates = TRAINING_IMPLS if for_training else ALL_IMPLS
-    key = f"{backend}|s{stage}|{'x'.join(map(str, z_shape))}|{candidates}"
+    key = (
+        f"v{_CACHE_VERSION}|{backend}|s{stage}|"
+        f"{'x'.join(map(str, z_shape))}|{candidates}"
+    )
     if key not in _CACHE:
         persisted = _load_persisted()
         if key in persisted:

@@ -46,8 +46,10 @@ def _choose_tiles(cin: int, h: int, w: int, itemsize: int) -> tuple[int, int]:
     multiple of 128 (lanes)."""
     wc = min(512, -(-w // 128) * 128)
     hb = 8
+    # Shrink in 128-lane multiples (NOT halving: 384 // 2 = 192 violates
+    # Mosaic's lane-multiple requirement on the output block).
     while wc > 128 and 9 * cin * hb * wc * itemsize > 6 * 2**20:
-        wc //= 2
+        wc -= 128
     return hb, wc
 
 

@@ -62,3 +62,18 @@ def test_pack_weights_order(rng):
     assert packed[2, (1 * 3 + 2) * 4 + 3] == pytest.approx(
         float(wt[1, 2, 3, 2])
     )
+
+
+def test_choose_tiles_lane_multiple_invariant():
+    """Mosaic requires the output block's last dim to be a multiple of 128:
+    regression for the halving bug where w=320 -> wc=384 -> 192 (not a
+    lane multiple), which broke wide-latent (nb_vec=20) stage-7 synthesis
+    on TPU."""
+    from musicgan_tpu.ops.conv import _choose_tiles
+
+    for cin in (16, 32, 48, 96, 128, 144):
+        for w in (4, 80, 160, 320, 640, 5120, 10240):
+            hb, wc = _choose_tiles(cin, 512, w, 4)
+            assert wc % 128 == 0, (cin, w, wc)
+            assert hb % 8 == 0
+            assert 9 * cin * hb * wc * 4 <= 6 * 2**20 or wc == 128
