@@ -2,10 +2,11 @@
 
 Covers all three BASELINE.json metrics:
 
-1. ``preproc_stft_frames_per_sec`` — host-side ingest pipeline (numpy
-   mirror of the device STFT -> bark magn / unwrapped-phase transform),
-   measured on an in-memory signal, like-for-like with the reference's
-   ``wav_to_stft`` + ``stft_to_phase_magn`` (``audio/functions.py:38-96``).
+1. ``preproc_stft_frames_per_sec`` — host-side ingest pipeline (scipy
+   STFT + the fused native C++ tail, falling back to the numpy mirror of
+   the device transform where no compiler exists), measured on an
+   in-memory signal, like-for-like with the reference's ``wav_to_stft``
+   + ``stft_to_phase_magn`` (``audio/functions.py:38-96``).
 2. ``train_steps_per_sec_stage0`` / ``..._stage7`` — full WGAN-GP
    iterations (D update + GP + n_critic-gated G update, reference
    ``train.py:131-214``) at batch 6, timed as K on-device iterations per

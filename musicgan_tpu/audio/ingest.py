@@ -113,19 +113,27 @@ def process_signal(
     """In-memory signal -> ``(N, 2, n_bins, n_vec)`` float32 chunks (the
     pure-compute part of :func:`process_wav`; benchmarked separately).
 
-    ``backend``: "numpy" (the default behind "auto") runs the post-FFT
-    tail as in-place numpy passes — measured FASTER than the ATen-kernel
-    "torch" variant on this host (38k vs 32k frames/s; both beat the
-    reference's own pipeline at 28.5k, BASELINE_MEASURED.json).  The torch
-    tail is kept as an equality-tested alternative for hosts where ATen
-    wins.
+    ``backend``: "auto" prefers "native" — the fused C++ tail
+    (``native/host_ops.cpp``, two passes instead of ~12, parity-tested
+    against the numpy mirror) — falling back to "numpy" where no compiler
+    is available.  "numpy" is the reference mirror the equality tests pin
+    to the device pipeline; the "torch" (ATen) tail is kept as an
+    equality-tested alternative for hosts where ATen wins.
     """
     z = _stft_np(signal, cfg.n_fft, cfg.stft_stride)[:-1, :]  # drop Nyquist
     if z.shape[1] < cfg.n_vec:
         return None
     if backend == "auto":
-        backend = "numpy"
+        from .. import native
 
+        backend = "native" if native.is_available() else "numpy"
+
+    if backend == "native":
+        from .. import native
+
+        return native.magn_phase_pack(
+            z, _bark_scale_np(cfg.n_bins, cfg.sample_rate), cfg.n_vec
+        )
     if backend == "torch":
         magn, phase = _magn_phase_torch(z, cfg)
     else:

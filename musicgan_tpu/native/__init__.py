@@ -1,0 +1,118 @@
+"""Native (C++) host-side ops, bound via ctypes.
+
+The device compute path is JAX/XLA/Pallas; this package holds the native
+runtime pieces of the HOST side — currently the fused ingest tail
+(``host_ops.cpp::mg_magn_phase_pack``), which replaces ~12 numpy passes of
+the pure-Python mirror (``audio/ingest.py``) with two fused passes.
+
+The shared library is compiled on first use with ``g++ -O3 -march=native``
+and cached next to the source (rebuilt when the source is newer).  Every
+entry point degrades gracefully: if no compiler is available or the build
+fails, callers fall back to the numpy path (``is_available()`` -> False).
+No pybind11 in this environment — the ABI is plain C, bound with ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["is_available", "magn_phase_pack", "build", "lib_path"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_ops.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_FAILED = False
+
+
+def lib_path() -> str:
+    return os.path.join(_DIR, "libmusicgan_host.so")
+
+
+def build(force: bool = False) -> str:
+    """Compile host_ops.cpp -> libmusicgan_host.so; returns the .so path.
+
+    Raises ``RuntimeError`` on compiler failure (callers catch and fall
+    back).  ``-fno-math-errno`` only — NOT ``-ffast-math``, which would
+    break the exact wrap-edge semantics the parity tests pin down.
+    """
+    so = lib_path()
+    if (
+        not force
+        and os.path.exists(so)
+        and os.path.getmtime(so) >= os.path.getmtime(_SRC)
+    ):
+        return so
+    tmp = so + ".tmp"
+    cmd = [
+        "g++", "-O3", "-march=native", "-fno-math-errno", "-shared",
+        "-fPIC", "-o", tmp, _SRC,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=300
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        raise RuntimeError(f"native build failed to launch: {e!r}") from e
+    if proc.returncode != 0:
+        raise RuntimeError(f"native build failed:\n{proc.stderr}")
+    os.replace(tmp, so)
+    return so
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _FAILED:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(build())
+        except (RuntimeError, OSError):
+            _FAILED = True
+            return None
+        fn = lib.mg_magn_phase_pack
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def magn_phase_pack(
+    z: np.ndarray, bark: np.ndarray, n_vec: int
+) -> np.ndarray | None:
+    """Fused complex spectrogram -> packed, normalized chunks.
+
+    ``z``: complex64 ``(n_bins, T)`` (Nyquist already dropped);
+    ``bark``: float32 ``(n_bins,)``.  Returns float32
+    ``((T-1)//n_vec, 2, n_bins, n_vec)``, or ``None`` if the track is
+    shorter than one chunk — mirroring ``audio.ingest.process_signal``.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable; check is_available()"
+    z = np.ascontiguousarray(z, np.complex64)
+    bark = np.ascontiguousarray(bark, np.float32)
+    n_bins, t = z.shape
+    n_chunks = (t - 1) // n_vec
+    if n_chunks == 0:
+        return None
+    out = np.empty((n_chunks, 2, n_bins, n_vec), np.float32)
+    rc = lib.mg_magn_phase_pack(
+        z.ctypes.data, n_bins, t, bark.ctypes.data, n_vec, out.ctypes.data
+    )
+    if rc != 0:
+        return None
+    return out

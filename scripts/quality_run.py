@@ -1,0 +1,69 @@
+"""Round-2 quality run: compressed reference schedule on the rich corpus.
+
+Reference schedule (reference ``train.py:101-109``) divided by
+``--schedule-div`` (default 10): same stage proportions, 140k samples
+total at div 10 (the reference's full run is 1.4M samples to full
+growth).  Run on the real TPU; artifacts (checkpoints, preview PNGs,
+metrics.csv) land in ``--out``.
+
+Usage:
+  python scripts/quality_run.py --dataset /root/corpus_r2/ds \
+      --out /root/runs/quality_r2 [--schedule-div 10] [--compute-dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--schedule-div", type=int, default=10)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--max-stage", type=int, default=None)
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-every", type=int, default=2000)
+    ap.add_argument("--log-every", type=int, default=200)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from musicgan_tpu.config import TrainConfig
+    from musicgan_tpu.train import train
+
+    base = TrainConfig()
+    d = args.schedule_div
+    cfg = dataclasses.replace(
+        base,
+        fadein_lengths=tuple(max(1, f // d) for f in base.fadein_lengths),
+        train_lengths=tuple(max(1, t // d) for t in base.train_lengths),
+        compute_dtype=args.compute_dtype,
+        max_stage=args.max_stage,
+        seed=args.seed,
+        save_every=args.save_every,
+        log_every=args.log_every,
+        nb_epoch=100000,  # schedule-bounded, not epoch-bounded
+    )
+    total = sum(cfg.train_lengths)
+    max_iters = args.max_iters
+    if max_iters is None:
+        # run a little past full growth, like the reference does
+        max_iters = int(total * 1.15) // cfg.batch_size
+    print(f"[quality_run] schedule/{d}: {total} samples to full growth, "
+          f"max_iters={max_iters}, dtype={cfg.compute_dtype}")
+    train(
+        run_name=f"quality_r2_div{d}_{args.compute_dtype}",
+        input_dataset_path=args.dataset,
+        output_dir=args.out,
+        train_cfg=cfg,
+        resume=args.resume,
+        max_iters=max_iters,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -186,3 +186,68 @@ def test_process_signal_torch_tail_matches_numpy(rng):
     a = ingest.process_signal(sig, backend="numpy")
     b = ingest.process_signal(sig, backend="torch")
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def _native_or_skip():
+    import pytest
+
+    from musicgan_tpu import native
+
+    if not native.is_available():
+        pytest.skip("no C++ toolchain on this host")
+    return native
+
+
+def test_native_tail_matches_numpy(rng):
+    """The fused C++ ingest tail (native/host_ops.cpp) == the numpy mirror
+    on a broadband music-like signal, to float32 tolerance."""
+    _native_or_skip()
+    sr = 44100
+    sig = (
+        0.2 * np.sin(2 * np.pi * 330 * np.arange(sr * 4) / sr)
+        + 0.1 * np.sin(2 * np.pi * 991 * np.arange(sr * 4) / sr)
+        + 0.05 * rng.standard_normal(sr * 4)
+    ).astype(np.float32)
+    a = ingest.process_signal(sig, backend="numpy")
+    b = ingest.process_signal(sig, backend="native")
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_native_tail_sign_flip_edge():
+    """Near-real sign-flipping bins hit the exact-±pi wrap edge; the C++
+    kernel must take the same branch as the numpy mirror (f64 wrap with the
+    positive-jump rule)."""
+    native = _native_or_skip()
+    from musicgan_tpu.audio.ingest import _bark_scale_np
+
+    n_bins, t, n_vec = 8, 65, 16
+    rng = np.random.default_rng(3)
+    z = (
+        rng.standard_normal((n_bins, t)) + 1j * rng.standard_normal((n_bins, t))
+    ).astype(np.complex64)
+    # row 0: alternating-sign pure-real values -> angle alternates 0, pi
+    z[0] = np.where(np.arange(t) % 2 == 0, 1.0, -1.0).astype(np.complex64)
+    bark = _bark_scale_np(n_bins, 44100)
+
+    got = native.magn_phase_pack(z, bark, n_vec)
+
+    magn = np.abs(z) * bark[:, None]
+    phase = ingest._phase_diff_np(np.angle(z))
+    magn = magn[:, 1:]
+    for a in (magn, phase):
+        mn, mx = a.min(), a.max()
+        a -= mn
+        a *= np.float32(2.0 / (mx - mn))
+        a -= np.float32(1.0)
+    trim = magn.shape[1] % n_vec
+    magn, phase = magn[:, trim:], phase[:, trim:]
+    n = magn.shape[1] // n_vec
+    want = np.stack(
+        [
+            magn.reshape(n_bins, n, n_vec).transpose(1, 0, 2),
+            phase.reshape(n_bins, n, n_vec).transpose(1, 0, 2),
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
