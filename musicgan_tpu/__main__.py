@@ -66,6 +66,22 @@ def main() -> None:
     p.add_argument("-o", "--output-dir", type=str, default=None)
 
     p = sub.add_parser(
+        "serve", help="long-running synthesis HTTP server (params resident)"
+    )
+    p.add_argument("gen_ckpt", type=str,
+                   help="musicgan_tpu checkpoint dir or reference gen_*.pt")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--rand-channels", type=int,
+                   default=None)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batch cap per compiled dispatch")
+    p.add_argument("--window-ms", type=float, default=10.0,
+                   help="micro-batching collection window")
+    p.add_argument("--stage", type=int, default=7)
+    p.add_argument("--no-warmup", action="store_true")
+
+    p = sub.add_parser(
         "export", help="export a trained generator as a reference-format .pt"
     )
     p.add_argument("ckpt", type=str, help="musicgan_tpu checkpoint dir")
@@ -152,6 +168,25 @@ def main() -> None:
             args.input_audio, args.image_idx, output_dir=args.output_dir
         ):
             print(p_)
+
+    elif args.mode == "serve":
+        from .config import ModelConfig
+        from .serve import serve
+
+        serve(
+            args.gen_ckpt,
+            host=args.host,
+            port=args.port,
+            rand_channels=(
+                ModelConfig.rand_channels
+                if args.rand_channels is None
+                else args.rand_channels
+            ),
+            max_batch=args.max_batch,
+            window_ms=args.window_ms,
+            stage=args.stage,
+            warmup=not args.no_warmup,
+        )
 
     elif args.mode == "export":
         from .generate import load_generator_params

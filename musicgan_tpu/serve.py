@@ -1,0 +1,301 @@
+"""Synthesis serving: a long-running HTTP server over the compiled graph.
+
+Production-serving layer with no reference equivalent (the reference's
+``generate.py`` reloads the checkpoint and rebuilds the model per
+invocation).  Design, TPU-first:
+
+* **Params stay resident on device** for the life of the server; each
+  request only ships a latent (KBs) and fetches a waveform.
+* **One compiled graph per (stage, nb_vec, batch-bucket)** — requests are
+  micro-batched by a collector thread and padded up to the next
+  power-of-two bucket, so steady-state traffic reuses a handful of XLA
+  executables instead of recompiling per batch size.
+* **Micro-batching**: concurrent requests with the same (stage, nb_vec)
+  signature that arrive within ``window_ms`` run as ONE vmapped forward —
+  the generator is batch-parallel on the MXU, so batch-8 costs far less
+  than 8x batch-1.
+* stdlib-only HTTP (``ThreadingHTTPServer``); no new dependencies.
+
+Endpoints:
+  ``POST /synthesize?seed=0&nb_vec=10&stage=7`` -> ``audio/wav`` bytes
+  ``GET /healthz`` -> JSON liveness + device info
+  ``GET /stats``   -> JSON counters (requests, batches, batch-size mean,
+                      per-signature compile cache)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+import jax
+
+from .config import AudioConfig, GenerateConfig, ModelConfig
+from .generate import load_generator_params, synthesize_fn
+
+__all__ = ["SynthesisService", "serve"]
+
+
+@dataclass
+class _Request:
+    seed: int
+    nb_vec: int
+    stage: int
+    future: Future = field(default_factory=Future)
+
+    @property
+    def signature(self):
+        return (self.stage, self.nb_vec)
+
+
+def _next_bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class SynthesisService:
+    """Device-resident generator + micro-batching request collector.
+
+    Usable directly (``submit().result()``) or behind the HTTP layer.
+    """
+
+    def __init__(
+        self,
+        params,
+        model_cfg: ModelConfig = ModelConfig(),
+        audio_cfg: AudioConfig = AudioConfig(),
+        max_batch: int = 8,
+        window_ms: float = 10.0,
+        default_stage: int = 7,
+    ):
+        self.params = jax.device_put(params)  # resident for the server's life
+        self.model_cfg = model_cfg
+        self.audio_cfg = audio_cfg
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.default_stage = default_stage
+        self._fns: dict = {}  # stage -> synthesize fn (jit cache inside)
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "batched_requests": 0,
+            "padded_slots": 0,
+            "signatures": [],
+        }
+        self._worker = threading.Thread(
+            target=self._run, name="synthesis-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(
+        self,
+        seed: int,
+        nb_vec: int = GenerateConfig.nb_vec,
+        stage: Optional[int] = None,
+    ) -> Future:
+        """Enqueue one synthesis; the Future resolves to a float32 (T,)
+        waveform."""
+        stage = self.default_stage if stage is None else stage
+        if not 0 <= stage < self.model_cfg.n_stages:
+            raise ValueError(f"stage {stage} out of range")
+        if nb_vec < 1:
+            raise ValueError("nb_vec must be >= 1")
+        req = _Request(int(seed), int(nb_vec), int(stage))
+        self._q.put(req)
+        return req.future
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the collector
+        self._worker.join(timeout=10)
+
+    def warmup(self, nb_vec: int = GenerateConfig.nb_vec) -> None:
+        """Pre-compile the batch-1 bucket for the default signature so the
+        first request doesn't pay the XLA compile."""
+        self.submit(seed=0, nb_vec=nb_vec).result()
+
+    # -- batcher ------------------------------------------------------------
+
+    def _collect(self) -> list[_Request]:
+        """Block for one request, then drain same-signature arrivals for up
+        to ``window_s`` (other signatures stay queued for the next round)."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deferred = []
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                r = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if r is None:
+                break
+            (batch if r.signature == first.signature else deferred).append(r)
+        for r in deferred:
+            self._q.put(r)
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._execute(batch)
+            except Exception as e:  # surface to all waiters, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _execute(self, batch: list[_Request]) -> None:
+        stage, nb_vec = batch[0].signature
+        cfg = self.model_cfg
+        bucket = _next_bucket(len(batch), self.max_batch)
+        # Per-request latent from its own seed: deterministic, cacheable.
+        zs = [
+            jax.random.normal(
+                jax.random.PRNGKey(r.seed),
+                (cfg.latent_height, cfg.latent_width * nb_vec,
+                 cfg.rand_channels),
+            )
+            for r in batch
+        ]
+        zs += [zs[-1]] * (bucket - len(batch))  # pad to the bucket
+        z = np.stack([np.asarray(x) for x in zs])
+
+        if stage not in self._fns:
+            self._fns[stage] = synthesize_fn(cfg, stage)
+        waves = np.asarray(self._fns[stage](self.params, z))
+
+        sig = f"stage{stage}/nb_vec{nb_vec}/b{bucket}"
+        self.stats["requests"] += len(batch)
+        self.stats["batches"] += 1
+        self.stats["batched_requests"] += len(batch) if len(batch) > 1 else 0
+        self.stats["padded_slots"] += bucket - len(batch)
+        if sig not in self.stats["signatures"]:
+            self.stats["signatures"].append(sig)
+        for r, w in zip(batch, waves):
+            r.future.set_result(np.asarray(w, np.float32))
+
+
+def _wav_bytes(wave: np.ndarray, sample_rate: int) -> bytes:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, sample_rate, np.asarray(wave, np.float32))
+    return buf.getvalue()
+
+
+def _make_handler(service: SynthesisService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {
+                    "ok": True,
+                    "devices": [str(d) for d in jax.devices()],
+                    "stage": service.default_stage,
+                })
+            elif path == "/stats":
+                self._json(200, service.stats)
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/synthesize":
+                self._json(404, {"error": f"unknown path {url.path}"})
+                return
+            q = parse_qs(url.query)
+
+            def arg(name, default):
+                return int(q[name][0]) if name in q else default
+
+            try:
+                fut = service.submit(
+                    seed=arg("seed", int(time.time_ns() % 2**31)),
+                    nb_vec=arg("nb_vec", GenerateConfig.nb_vec),
+                    stage=arg("stage", None) if "stage" in q else None,
+                )
+                wave = fut.result(timeout=600)
+            except Exception as e:
+                self._json(400, {"error": repr(e)})
+                return
+            body = _wav_bytes(wave, service.audio_cfg.sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def serve(
+    gen_ckpt: str,
+    host: str = "127.0.0.1",
+    port: int = 8765,
+    rand_channels: int = ModelConfig.rand_channels,
+    max_batch: int = 8,
+    window_ms: float = 10.0,
+    stage: int = 7,
+    warmup: bool = True,
+    model_cfg: Optional[ModelConfig] = None,
+) -> None:
+    """CLI workflow: load the checkpoint once, serve synthesis forever."""
+    import dataclasses
+
+    if model_cfg is None:
+        model_cfg = (
+            ModelConfig()
+            if rand_channels == ModelConfig.rand_channels
+            else dataclasses.replace(ModelConfig(), rand_channels=rand_channels)
+        )
+    params = load_generator_params(gen_ckpt, model_cfg)
+    service = SynthesisService(
+        params, model_cfg, max_batch=max_batch, window_ms=window_ms,
+        default_stage=stage,
+    )
+    if warmup:
+        t0 = time.perf_counter()
+        service.warmup()
+        print(f"[serve] warmup compile: {time.perf_counter() - t0:.1f}s")
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    print(f"[serve] listening on http://{host}:{server.server_address[1]} "
+          f"(stage {stage}, max_batch {max_batch}, window {window_ms}ms)")
+    try:
+        server.serve_forever()
+    finally:
+        service.close()

@@ -1,0 +1,126 @@
+"""Serving tests: micro-batching service semantics + the HTTP surface.
+
+Runs on the virtual CPU mesh with the tiny model config; stage 2 keeps the
+synthesized waveforms short (the vocoder upsamples every stage to full
+512-bin resolution, so even tiny stages produce real audio)."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+
+from musicgan_tpu.models import init_generator
+from musicgan_tpu.serve import SynthesisService, _make_handler, _next_bucket
+
+from tiny_cfg import TINY_MODEL
+
+STAGE = 2
+NB_VEC = 1
+
+
+@pytest.fixture(scope="module")
+def service():
+    params = init_generator(jax.random.PRNGKey(0), TINY_MODEL)
+    # generous window: thread scheduling on a loaded 1-core CI host can
+    # delay the enqueue of "concurrent" requests by tens of ms
+    svc = SynthesisService(
+        params, TINY_MODEL, max_batch=4, window_ms=500.0, default_stage=STAGE
+    )
+    yield svc
+    svc.close()
+
+
+def test_next_bucket():
+    assert [_next_bucket(n, 8) for n in (1, 2, 3, 5, 8, 9)] == [
+        1, 2, 4, 8, 8, 8,
+    ]
+
+
+def test_submit_deterministic_and_distinct(service):
+    w1 = service.submit(seed=7, nb_vec=NB_VEC).result(timeout=300)
+    w2 = service.submit(seed=7, nb_vec=NB_VEC).result(timeout=300)
+    w3 = service.submit(seed=8, nb_vec=NB_VEC).result(timeout=300)
+    assert w1.dtype == np.float32 and w1.ndim == 1 and np.isfinite(w1).all()
+    np.testing.assert_array_equal(w1, w2)  # same seed -> same audio
+    assert not np.array_equal(w1, w3)      # different seed -> different audio
+
+
+def test_concurrent_requests_microbatch(service):
+    """Concurrent same-signature requests coalesce into fewer dispatches,
+    and each caller still gets its own seed's waveform."""
+    before = service.stats["batches"]
+    futs = [service.submit(seed=s, nb_vec=NB_VEC) for s in range(4)]
+    waves = [f.result(timeout=300) for f in futs]
+    n_batches = service.stats["batches"] - before
+    assert n_batches < 4  # coalesced (typically 1)
+    solo = service.submit(seed=2, nb_vec=NB_VEC).result(timeout=300)
+    # same seed across different batch buckets: equal up to XLA's
+    # batch-shape-dependent reduction order
+    np.testing.assert_allclose(waves[2], solo, atol=1e-5)
+
+
+def test_mixed_signatures_not_merged(service):
+    """Different (stage, nb_vec) signatures must never share a dispatch."""
+    f1 = service.submit(seed=1, nb_vec=1)
+    f2 = service.submit(seed=1, nb_vec=2)
+    w1, w2 = f1.result(timeout=300), f2.result(timeout=300)
+    # nb_vec doubles the audio length (up to the constant iSTFT edge term)
+    assert abs(w2.shape[0] - 2 * w1.shape[0]) <= 1024
+
+
+def test_invalid_args(service):
+    with pytest.raises(ValueError):
+        service.submit(seed=0, nb_vec=0)
+    with pytest.raises(ValueError):
+        service.submit(seed=0, stage=99)
+
+
+def test_http_surface(service):
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["stage"] == STAGE
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize?seed=5&nb_vec=1",
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()
+        from scipy.io import wavfile
+
+        sr, wav = wavfile.read(io.BytesIO(body))
+        assert sr == service.audio_cfg.sample_rate
+        np.testing.assert_array_equal(
+            wav, service.submit(seed=5, nb_vec=1).result(timeout=300)
+        )
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1 and stats["batches"] >= 1
+
+        # error surface: bad args -> 400 JSON, server keeps serving
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize?nb_vec=0", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
