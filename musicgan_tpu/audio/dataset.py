@@ -67,6 +67,36 @@ class SpectrogramDataset:
     def __len__(self) -> int:
         return int(self.index["total_samples"])
 
+    @property
+    def complete(self) -> bool:
+        """False while a streaming ingest is still appending shards."""
+        return bool(self.index.get("complete", True))
+
+    def refresh(self) -> bool:
+        """Pick up shards appended since the dataset was opened (streaming
+        ingest: ``ShardWriter`` rewrites the index atomically per flush).
+        Returns True if the dataset grew.  No-op for reference ``.pt`` dirs
+        and for already-complete shard sets."""
+        if self._shards is None or self.complete:
+            return False
+        index_path = os.path.join(self.path, INDEX_NAME)
+        try:
+            with open(index_path) as f:
+                new_index = json.load(f)
+        except (OSError, ValueError):  # mid-replace race or gone: keep old
+            return False
+        if new_index["total_samples"] <= len(self):
+            self.index["complete"] = new_index.get("complete", True)
+            return False
+        for s in new_index["shards"][len(self._shards):]:
+            self._shards.append(
+                np.load(os.path.join(self.path, s["file"]), mmap_mode="r")
+            )
+        counts = [s["num_samples"] for s in new_index["shards"]]
+        self._offsets = np.concatenate([[0], np.cumsum(counts)])
+        self.index = new_index
+        return True
+
     def __getitem__(self, i: int) -> np.ndarray:
         """-> float32 ``(2, 512, 512)``."""
         if self._shards is not None:

@@ -192,7 +192,14 @@ def _magn_phase_torch(z: np.ndarray, cfg: AudioConfig):
 # ---------------------------------------------------------------------------
 
 class ShardWriter:
-    """Accumulates ``(2, H, W)`` samples and writes packed ``.npy`` shards."""
+    """Accumulates ``(2, H, W)`` samples and writes packed ``.npy`` shards.
+
+    The index is (re)written ATOMICALLY after every shard flush with
+    ``"complete": false``, so a concurrently-running trainer can pick up
+    new shards mid-ingest (``SpectrogramDataset.refresh``) — streaming
+    ingest overlaps dataset building with training.  ``close()`` marks the
+    index complete.
+    """
 
     def __init__(self, out_dir: str, samples_per_shard: int = 128):
         os.makedirs(out_dir, exist_ok=True)
@@ -209,6 +216,26 @@ class ShardWriter:
             if len(self._buf) >= self.samples_per_shard:
                 self._flush()
 
+    def _index_dict(self, complete: bool) -> dict:
+        flushed = sum(s["num_samples"] for s in self._shards)
+        return {
+            "format": "musicgan_tpu.shards.v1",
+            "dtype": "float32",
+            "sample_shape": [2, _CFG.n_bins, _CFG.n_vec],
+            "total_samples": flushed,
+            "shards": list(self._shards),
+            "complete": complete,
+        }
+
+    def _write_index(self, index: dict) -> None:
+        # atomic: a concurrent reader sees either the old or the new index,
+        # never a torn file
+        path = os.path.join(self.out_dir, INDEX_NAME)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(index, f, indent=1)
+        os.replace(tmp, path)
+
     def _flush(self) -> None:
         if not self._buf:
             return
@@ -218,18 +245,13 @@ class ShardWriter:
         np.save(os.path.join(self.out_dir, name), arr)
         self._shards.append({"file": name, "num_samples": int(arr.shape[0])})
         self._buf = []
+        self._write_index(self._index_dict(complete=False))
 
     def close(self) -> dict:
         self._flush()
-        index = {
-            "format": "musicgan_tpu.shards.v1",
-            "dtype": "float32",
-            "sample_shape": [2, _CFG.n_bins, _CFG.n_vec],
-            "total_samples": self._total,
-            "shards": self._shards,
-        }
-        with open(os.path.join(self.out_dir, INDEX_NAME), "w") as f:
-            json.dump(index, f, indent=1)
+        index = self._index_dict(complete=True)
+        assert index["total_samples"] == self._total
+        self._write_index(index)
         return index
 
 

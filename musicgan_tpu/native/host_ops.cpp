@@ -42,13 +42,14 @@ inline float fast_atan2(float y, float x) {
     const float ax = std::fabs(x), ay = std::fabs(y);
     const float mx = ax > ay ? ax : ay;
     const float mn = ax > ay ? ay : ax;
-    const float a = mn / mx;  // in [0,1]; atan2(0,0) -> NaN like libm? (see note)
+    const float a = mn / (mx > 0.0f ? mx : 1.0f);  // atan2(0,0) -> 0, not NaN
     const float s = a * a;
     float r = ((((-0.0117212f * s + 0.0526533f) * s - 0.1164329f) * s
                 + 0.1935435f) * s - 0.3326235f) * s + 0.9999773f;
     r *= a;
     r = ay > ax ? 1.5707963267948966f - r : r;
-    r = x < 0.0f ? 3.14159265358979323846f - r : r;
+    // signbit, not (x < 0): atan2(+-0, -0.0) = +-pi like IEEE/numpy
+    r = std::signbit(x) ? 3.14159265358979323846f - r : r;
     return std::copysign(r, y);
 }
 

@@ -281,6 +281,12 @@ def train(
     for epoch in range(start_epoch, train_cfg.nb_epoch):
         if done:
             break
+        # Streaming ingest: pick up shards a concurrent create_dataset has
+        # appended since the last epoch.  Single-process only — multi-host
+        # batch composition derives from len(dataset), and hosts must not
+        # observe different snapshots of a still-growing index.
+        if num_hosts == 1 and dataset.refresh() and lead:
+            print(f"[dataset] grew to {len(dataset)} samples", flush=True)
         for x_raw in batch_iterator(
             dataset,
             train_cfg.batch_size // num_hosts,

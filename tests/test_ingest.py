@@ -188,6 +188,30 @@ def test_process_signal_torch_tail_matches_numpy(rng):
     np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+def test_streaming_ingest_refresh(tmp_path):
+    """A trainer opened mid-ingest sees a consistent prefix and picks up
+    appended shards via refresh(); close() marks the index complete."""
+    out = str(tmp_path / "ds")
+    w = ingest.ShardWriter(out, samples_per_shard=2)
+    sample = np.zeros((2, 4, 4), np.float32)
+
+    w.add(np.stack([sample, sample + 1]))  # flush #1 (2 samples)
+    ds = SpectrogramDataset(out)
+    assert len(ds) == 2 and not ds.complete
+
+    w.add(np.stack([sample + 2, sample + 3]))  # flush #2
+    assert ds.refresh() and len(ds) == 4
+    np.testing.assert_array_equal(ds[3], sample + 3)
+
+    w.add(sample[None] + 4)  # buffered, not flushed yet
+    assert not ds.refresh() and len(ds) == 4
+
+    index = w.close()  # flushes the remainder + marks complete
+    assert index["complete"] and index["total_samples"] == 5
+    assert ds.refresh() and len(ds) == 5 and ds.complete
+    assert not ds.refresh()  # complete: further refreshes are no-ops
+
+
 def _native_or_skip():
     import pytest
 
@@ -212,6 +236,33 @@ def test_native_tail_matches_numpy(rng):
     b = ingest.process_signal(sig, backend="native")
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_native_tail_pure_tone():
+    """A pure tone leaves most STFT bins at exact (0, 0) and some at
+    negative-zero real parts — atan2's IEEE edge cases.  The native tail
+    must match numpy's conventions (arctan2(0,0)=0, arctan2(+-0,-0)=+-pi),
+    not produce NaNs."""
+    _native_or_skip()
+    sr = 44100
+    t = np.arange(int(sr * 3.2)) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    a = ingest.process_signal(sig, backend="numpy")
+    b = ingest.process_signal(sig, backend="native")
+    assert np.isfinite(b).all()
+    assert b.min() >= -1.0 - 1e-5 and b.max() <= 1.0 + 1e-5
+    # magnitude channel: exact parity everywhere
+    np.testing.assert_allclose(a[:, 0], b[:, 0], atol=2e-6)
+    # phase channel: exact parity on carrying bins.  Silent bins have
+    # rounding-noise phases whose diffs land within float error of +-pi,
+    # where the wrap branch is genuinely ambiguous between any two atan2
+    # implementations (numpy vs torch included) — allow a tiny count of
+    # branch flips there, nowhere else.
+    carrying = a[:, 0] > -0.9
+    np.testing.assert_allclose(a[:, 1][carrying], b[:, 1][carrying],
+                               atol=2e-6)
+    flips = np.abs(a[:, 1] - b[:, 1]) > 1e-4
+    assert flips.mean() < 5e-4 and not (flips & carrying).any()
 
 
 def test_native_tail_sign_flip_edge():
