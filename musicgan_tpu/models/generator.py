@@ -124,6 +124,10 @@ def generator_forward(
     impl = cfg.conv_impl
     if impl == "pallas":
         return _generator_forward_nchw(params, z, stage, alpha, cfg)
+    if impl == "pallas_bf16":
+        return _generator_forward_nchw(
+            params, z, stage, alpha, cfg, compute_dtype=jnp.bfloat16
+        )
     if impl == "auto":
         impl = "xla"
 
@@ -144,13 +148,20 @@ def generator_forward(
 
 
 def _generator_forward_nchw(
-    params: dict, z: jnp.ndarray, stage: int, alpha, cfg: ModelConfig
+    params: dict, z: jnp.ndarray, stage: int, alpha, cfg: ModelConfig,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Pallas fast path: the whole conv stack runs in NCHW via the fused
     3x3 kernel (``ops/conv.py`` — conv + bias + LeakyReLU + PixelNorm in
     one VMEM-resident matmul per tile; W on the 128-lane dim where this
     model is wide).  NHWC in/out at the edges for API parity; the two
     transposes act on the tiny latent and 2-channel image only.
+
+    ``compute_dtype=bfloat16`` (impl ``"pallas_bf16"``) halves every HBM
+    transfer — activations stream through the stack in bf16 while the MXU
+    still accumulates in float32 and the bias/LeakyReLU/PixelNorm epilogue
+    runs in float32.  The kernel is DMA-bound (PERF.md), so bytes, not
+    FLOPs, set its speed.  Heads and fade-in stay float32.
 
     Inference-only (``pallas_call`` here defines no VJP); ``build_step``
     rejects it for training.
@@ -164,21 +175,25 @@ def _generator_forward_nchw(
     def block_nchw(p, x):
         x = fused_conv3x3(
             x, p["conv1"]["w"], p["conv1"]["b"], slope=slope,
-            pixel_norm=True, eps=eps, interpret=interpret,
+            pixel_norm=True, eps=eps, out_dtype=compute_dtype,
+            interpret=interpret,
         )
         x = upsample_nearest_2x_nchw(x)
         return fused_conv3x3(
             x, p["conv2"]["w"], p["conv2"]["b"], slope=slope,
-            pixel_norm=True, eps=eps, interpret=interpret,
+            pixel_norm=True, eps=eps, out_dtype=compute_dtype,
+            interpret=interpret,
         )
 
     def head_nchw(p, x):
         # 1x1 conv as a channel matmul: (B, C, H, W) -> (B, 2, H, W).
         w = p["w"][0, 0]  # (C, 2)
-        y = jnp.einsum("bchw,ck->bkhw", x, w) + p["b"][None, :, None, None]
+        y = jnp.einsum(
+            "bchw,ck->bkhw", x.astype(jnp.float32), w
+        ) + p["b"][None, :, None, None]
         return jnp.tanh(y)
 
-    out = jnp.transpose(z, (0, 3, 1, 2))
+    out = jnp.transpose(z, (0, 3, 1, 2)).astype(compute_dtype)
     for i in range(stage):
         out = block_nchw(params["blocks"][i], out)
 

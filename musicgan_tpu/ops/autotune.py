@@ -35,13 +35,20 @@ __all__ = ["resolve_conv_impl", "measure_conv_impls"]
 _CACHE: dict = {}
 _K = 4          # forwards per timed dispatch
 _REPS = 2       # dispatches per candidate (best-of)
-_CACHE_VERSION = 2  # bump when any impl's kernel changes: invalidates
+_CACHE_VERSION = 3  # bump when any impl's kernel changes: invalidates
 # persisted winners picked against the old code (v1: pallas tile bug
-# disqualified it, freezing 'xla' on disk)
+# disqualified it, freezing 'xla' on disk; v2: bf16 sublane-padding OOM
+# disqualified pallas_bf16 at wide shapes)
 
-# Differentiable impls (trainable); "pallas" defines no VJP.
+# Differentiable impls (trainable); the Pallas paths define no VJP.
+# "pallas_bf16" streams activations between layers in bf16 (f32 MXU
+# accumulation + f32 epilogue) — NOT a precision regression for inference:
+# XLA's default matmul precision on TPU already rounds f32 conv/matmul
+# operands to bf16, so the default "xla" path sees the same operand
+# rounding; bf16 I/O just also halves the HBM traffic (tested: the full
+# generator stack agrees with the f32 kernel to bf16 rounding).
 TRAINING_IMPLS = ("xla", "subpixel")
-ALL_IMPLS = ("xla", "subpixel", "pallas")
+ALL_IMPLS = ("xla", "subpixel", "pallas", "pallas_bf16")
 
 
 def _persist_path() -> str | None:

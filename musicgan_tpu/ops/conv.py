@@ -43,18 +43,23 @@ def _choose_tiles(cin: int, h: int, w: int, itemsize: int) -> tuple[int, int]:
     """Pick (hb, wc) so slab + patch + out fit comfortably in VMEM.
 
     Both must respect Mosaic tiling: hb multiple of 8 (sublanes), wc
-    multiple of 128 (lanes)."""
+    multiple of 128 (lanes).  The VMEM budget must be computed on the
+    SUBLANE-PADDED patch size: narrow dtypes tile at (32/itemsize, 128),
+    so a (…, hb=8, wc) bf16 buffer occupies 16 sublane rows — ignoring
+    that doubles the real footprint and blows the 16 MB scoped-vmem limit
+    (observed at the wide-synthesis shape)."""
     wc = min(512, -(-w // 128) * 128)
     hb = 8
+    padded_hb = max(hb, 32 // itemsize)  # Mosaic native sublane tiling
     # Shrink in 128-lane multiples (NOT halving: 384 // 2 = 192 violates
     # Mosaic's lane-multiple requirement on the output block).
-    while wc > 128 and 9 * cin * hb * wc * itemsize > 6 * 2**20:
+    while wc > 128 and 9 * cin * padded_hb * wc * itemsize > 6 * 2**20:
         wc -= 128
     return hb, wc
 
 
 def _kernel(x_hbm, w_ref, b_ref, o_ref, slab, patch, sem, *,
-            cin, cout, hb, wc, slope, pixel_norm, eps):
+            cin, cout, hb, wc, slope, pixel_norm, eps, upcast_dot=False):
     bi = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -77,11 +82,12 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, slab, patch, sem, *,
                 slab[:, dy : dy + hb, dx : dx + wc]
             )
 
-    y = jnp.dot(
-        w_ref[:],
-        patch[:].reshape(9 * cin, hb * wc),
-        preferred_element_type=jnp.float32,
-    )  # (cout, hb*wc)
+    lhs = w_ref[:]
+    rhs = patch[:].reshape(9 * cin, hb * wc)
+    if upcast_dot:  # interpret mode: CPU has no bf16 x bf16 = f32 dot.
+        # Faithful MXU emulation: bf16 products are exact in float32.
+        lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+    y = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)  # (cout, hb*wc)
     y = y + b_ref[:]
     if slope is not None:
         y = jnp.where(y >= 0, y, slope * y)
@@ -132,6 +138,7 @@ def fused_conv3x3(
         _kernel,
         cin=cin, cout=cout, hb=hb, wc=wc,
         slope=slope, pixel_norm=pixel_norm, eps=eps,
+        upcast_dot=interpret and x.dtype != jnp.float32,
     )
     out = pl.pallas_call(
         kern,

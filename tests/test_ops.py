@@ -54,6 +54,44 @@ def test_fused_conv3x3_no_epilogue(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_fused_conv3x3_bf16_io(rng):
+    """bf16 activations/weights with f32 MXU accumulation + f32 epilogue:
+    result within bf16 rounding of the f32 reference, output dtype bf16."""
+    x32 = jnp.asarray(rng.standard_normal((1, 16, 8, 256)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, 16, 32)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(32) * 0.1, jnp.float32)
+    got = fused_conv3x3(
+        x32.astype(jnp.bfloat16), wt, bias, slope=0.2, pixel_norm=True,
+        out_dtype=jnp.bfloat16, interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    ref = _ref_conv(x32, wt, bias, slope=0.2, pixel_norm=True)
+    # pixel-norm output is O(1); bf16 has ~2-3 decimal digits
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=0.06
+    )
+
+
+def test_generator_pallas_bf16_close_to_f32(rng):
+    """The full bf16 Pallas generator stack stays within bf16 accumulation
+    noise of the f32 XLA path — the parity bound for pallas_bf16 synthesis
+    (final tanh output lives in [-1, 1])."""
+    import dataclasses
+
+    from musicgan_tpu.models import generator_forward, init_generator
+    from tiny_cfg import TINY_MODEL
+
+    params = init_generator(jax.random.PRNGKey(0), TINY_MODEL)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 8))
+    f32 = generator_forward(params, z, 3, 1.0, TINY_MODEL)
+    cfg = dataclasses.replace(TINY_MODEL, conv_impl="pallas_bf16")
+    bf16 = generator_forward(params, z, 3, 1.0, cfg)
+    assert bf16.dtype == jnp.float32  # heads/fade-in stay f32
+    np.testing.assert_allclose(
+        np.asarray(bf16), np.asarray(f32), atol=0.08
+    )
+
+
 def test_pack_weights_order(rng):
     wt = jnp.asarray(rng.standard_normal((3, 3, 4, 5)), jnp.float32)
     packed = np.asarray(pack_weights(wt))
