@@ -36,6 +36,8 @@ def view_audio(
     out_paths = []
     base = os.path.splitext(os.path.basename(audio_path))[0]
     out_dir = output_dir or os.path.dirname(os.path.abspath(audio_path))
+    if save:
+        os.makedirs(out_dir, exist_ok=True)
     for name, img in (("magnitude", magn), ("phase", phase)):
         fig, ax = plt.subplots()
         fig.suptitle(name)

@@ -188,6 +188,21 @@ def test_process_signal_torch_tail_matches_numpy(rng):
     np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+def test_view_audio_workflow(tmp_path):
+    """WAV -> magnitude/phase PNG pair, headless (reference
+    ``view_audio.py:6-26``)."""
+    from musicgan_tpu.view_audio import view_audio
+
+    p = str(tmp_path / "v.wav")
+    _make_wav(p, seconds=3.2, freq=440.0)
+    out = str(tmp_path / "imgs")
+    paths = view_audio(p, 0, save=True, output_dir=out)
+    assert len(paths) == 2
+    for f in paths:
+        assert os.path.isfile(f) and os.path.getsize(f) > 1000
+        assert f.endswith(".png")
+
+
 def test_streaming_ingest_refresh(tmp_path):
     """A trainer opened mid-ingest sees a consistent prefix and picks up
     appended shards via refresh(); close() marks the index complete."""
