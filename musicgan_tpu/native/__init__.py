@@ -81,7 +81,8 @@ def _load() -> ctypes.CDLL | None:
         fn.restype = ctypes.c_int
         fn.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
         ]
         _LIB = lib
     return _LIB
@@ -92,26 +93,30 @@ def is_available() -> bool:
 
 
 def magn_phase_pack(
-    z: np.ndarray, bark: np.ndarray, n_vec: int
+    z_frames: np.ndarray, bark: np.ndarray, n_vec: int
 ) -> np.ndarray | None:
     """Fused complex spectrogram -> packed, normalized chunks.
 
-    ``z``: complex64 ``(n_bins, T)`` (Nyquist already dropped);
-    ``bark``: float32 ``(n_bins,)``.  Returns float32
+    ``z_frames``: complex64 ``(T, ld)`` FRAME-major (the batched-rfft
+    layout; no transpose needed).  Only the first ``len(bark)`` columns
+    are used, so passing the raw rfft output with ``ld = n_bins + 1``
+    drops the Nyquist bin for free.  Returns float32
     ``((T-1)//n_vec, 2, n_bins, n_vec)``, or ``None`` if the track is
     shorter than one chunk — mirroring ``audio.ingest.process_signal``.
     """
     lib = _load()
     assert lib is not None, "native library unavailable; check is_available()"
-    z = np.ascontiguousarray(z, np.complex64)
+    z_frames = np.ascontiguousarray(z_frames, np.complex64)
     bark = np.ascontiguousarray(bark, np.float32)
-    n_bins, t = z.shape
+    t, ld = z_frames.shape
+    n_bins = bark.shape[0]
     n_chunks = (t - 1) // n_vec
-    if n_chunks == 0:
+    if n_chunks == 0 or n_bins > ld:
         return None
     out = np.empty((n_chunks, 2, n_bins, n_vec), np.float32)
     rc = lib.mg_magn_phase_pack(
-        z.ctypes.data, n_bins, t, bark.ctypes.data, n_vec, out.ctypes.data
+        z_frames.ctypes.data, t, ld, n_bins, bark.ctypes.data, n_vec,
+        out.ctypes.data,
     )
     if rc != 0:
         return None

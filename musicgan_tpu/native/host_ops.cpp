@@ -5,26 +5,36 @@
 // is the one hot CPU path, and the numpy mirror in audio/ingest.py spends
 // most of its time in many full-array passes (SIMD atan2/abs, a float64
 // phase-difference pipeline with several temporaries, in-place
-// normalization sweeps, a strided packing transpose).  This kernel fuses
-// the whole post-FFT tail into a small number of cache-resident passes:
+// normalization sweeps, a layout transpose, a packing copy).  This kernel
+// fuses the whole post-FFT tail into one streaming pass over the
+// FRAME-MAJOR spectrogram — the layout the batched rfft produces — so the
+// 40+ MB bin-major transpose the numpy path pays never happens.  Every
+// stage is shaped for the auto-vectorizer (verified with -fopt-info-vec):
 //
-//   per frequency bin (row of the spectrogram, time-contiguous):
-//     stage A (vectorized): magnitude sqrt(re^2+im^2)*bark and phase
-//         atan2(im, re) for the whole row into two L1/L2-resident
-//         scratch buffers.  atan2 is a branchless degree-11 minimax
-//         polynomial (max error ~2e-7 rad — the parity budget against the
-//         numpy mirror is ~6e-6 rad) that g++ auto-vectorizes; exact at
-//         the axes (atan2(+-0, -1) = +-pi, atan2(0, 1) = 0), which the
-//         sign-flip wrap edge below depends on.
-//     stage B (scalar f64): wrapped first difference of the float32 phase
-//         with identical edge semantics to ingest._phase_diff_np (a -pi
-//         wrap of a positive jump maps to +pi; |d| < pi kept untouched),
-//         written straight into the packed (chunk, channel, bin, frame)
-//         output layout, accumulating per-track min/max over ALL frames
-//         (including the leading `t % n_vec` trimmed ones -- the
-//         reference normalizes before trimming).
-//   final pass: in-place min-max -> [-1, 1] with the same float32 op
-//         order as the numpy mirror (a -= mn; a *= f32(2/(mx-mn)); a -= 1).
+//   per frame t (row of z, contiguous):
+//     stage A (f32, vector): magnitude sqrt(re^2+im^2)*bark and phase
+//         atan2(im,re) over all bins.  atan2 is a branchless degree-11
+//         minimax polynomial (max err ~2e-7 rad — the parity budget vs
+//         the numpy mirror is ~6e-6 rad), exact at the IEEE axes
+//         (atan2(+-0,-0)=+-pi, atan2(0,+0)=0), which the sign-flip wrap
+//         edge depends on.
+//     stage B (f64, vector, branchless): wrapped first difference of the
+//         float32 phase vs the carried previous frame, with identical
+//         semantics to ingest._phase_diff_np: |d| < pi kept untouched;
+//         otherwise np.mod(d+pi, 2pi) - pi via the exact floor identity
+//         (floor is in {-1,0,1} for |d| <= 2pi), and a -pi wrap of a
+//         positive jump maps to +pi.
+//     stage C (vector): per-track min/max via per-lane accumulators
+//         (plain conditional reductions don't vectorize), over ALL
+//         frames including the leading `t % n_vec` trimmed ones — the
+//         reference normalizes before trimming.
+//     stage D: rows land in a 16-frame staging block; full blocks flush
+//         as contiguous 64 B runs per bin (a blocked transpose) instead
+//         of 4 B scattered stores into the packed
+//         (chunk, channel, bin, frame) output.
+//   final pass (vector): in-place min-max -> [-1, 1] with the same
+//         float32 op order as the numpy mirror
+//         (a -= mn; a *= f32(2/(mx-mn)); a -= 1).
 //
 // Build: g++ -O3 -march=native -fno-math-errno -shared -fPIC (see build.py).
 // Python binding: ctypes (musicgan_tpu/native/__init__.py).
@@ -35,6 +45,9 @@
 #include <cstring>
 
 namespace {
+
+constexpr int64_t kBlock = 16;  // frames staged per transpose flush
+constexpr int kLanes = 16;      // min/max accumulator lanes
 
 // Branchless atan2f: minimax atan(a) on [0,1] + quadrant fixups.
 // Auto-vectorizes (no libm calls, no branches — ternaries become blends).
@@ -53,84 +66,146 @@ inline float fast_atan2(float y, float x) {
     return std::copysign(r, y);
 }
 
+inline void lane_minmax(const float* v, int64_t n, float* lo, float* hi) {
+    // elementwise per-lane accumulation vectorizes; n is a multiple of
+    // kLanes here (n_bins = 512) but handle any n for generality
+    int64_t b = 0;
+    for (; b + kLanes <= n; b += kLanes) {
+        for (int j = 0; j < kLanes; ++j) {
+            const float x = v[b + j];
+            lo[j] = x < lo[j] ? x : lo[j];
+            hi[j] = x > hi[j] ? x : hi[j];
+        }
+    }
+    for (; b < n; ++b) {
+        const float x = v[b];
+        lo[0] = x < lo[0] ? x : lo[0];
+        hi[0] = x > hi[0] ? x : hi[0];
+    }
+}
+
 }  // namespace
 
 extern "C" {
 
-// z:    (n_bins, T) complex64, row-major, interleaved re/im
+// z:    (T, ld) complex64, row-major, interleaved re/im (frame-major, the
+//       batched-rfft layout); only the first n_bins columns are used (the
+//       caller drops the Nyquist bin by passing n_bins = ld - 1).
 // bark: (n_bins,) float32 per-bin magnitude weight
 // out:  (n_chunks, 2, n_bins, n_vec) float32, n_chunks = (T-1)/n_vec
 // Returns 0 on success, -1 on bad geometry, -2 on allocation failure.
-int mg_magn_phase_pack(const float* z, int64_t n_bins, int64_t T,
+int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
                        const float* bark, int64_t n_vec, float* out) {
     const int64_t td = T - 1;            // frames after the first-difference
-    if (td < n_vec || n_vec <= 0 || n_bins <= 0) return -1;
+    if (td < n_vec || n_vec <= 0 || n_bins <= 0 || n_bins > ld) return -1;
     const int64_t n_chunks = td / n_vec;
     const int64_t trim = td % n_vec;     // leading frames dropped after norm
     const double pi = 3.14159265358979323846;
     const double two_pi = 2.0 * pi;
 
-    float* scratch = static_cast<float*>(std::malloc(2 * T * sizeof(float)));
-    if (!scratch) return -2;
-    float* mrow = scratch;       // |z| * bark
-    float* phi = scratch + T;    // atan2(im, re)
+    // scratch: phi_prev | mrow | prow | d64 | mblk (n_bins x kBlock) | pblk
+    const int64_t fsz = 3 * n_bins;
+    float* buf = static_cast<float*>(
+        std::malloc((fsz + 2 * n_bins * kBlock) * sizeof(float)
+                    + n_bins * sizeof(double)));
+    if (!buf) return -2;
+    float* phi_prev = buf;
+    float* mrow = buf + n_bins;
+    float* prow = buf + 2 * n_bins;
+    float* mblk = buf + fsz;                     // (n_bins, kBlock)
+    float* pblk = mblk + n_bins * kBlock;
+    double* d64 = reinterpret_cast<double*>(pblk + n_bins * kBlock);
 
-    float m_min = INFINITY, m_max = -INFINITY;
-    float p_min = INFINITY, p_max = -INFINITY;
+    for (int64_t b = 0; b < n_bins; ++b) {
+        phi_prev[b] = fast_atan2(z[2 * b + 1], z[2 * b]);
+    }
+
+    float mlo[kLanes], mhi[kLanes], plo[kLanes], phi_[kLanes];
+    for (int j = 0; j < kLanes; ++j) {
+        mlo[j] = plo[j] = INFINITY;
+        mhi[j] = phi_[j] = -INFINITY;
+    }
 
     const int64_t chan_stride = n_bins * n_vec;       // one channel plane
     const int64_t chunk_stride = 2 * chan_stride;     // one chunk
+    int64_t blk_fill = 0, blk_k0 = 0;  // staging block state
 
-    for (int64_t b = 0; b < n_bins; ++b) {
-        const float* row = z + 2 * b * T;
-        const float w = bark[b];
-
-        // stage A: vectorized magnitude + phase for the whole row
-        for (int64_t t = 0; t < T; ++t) {
-            const float re = row[2 * t], im = row[2 * t + 1];
-            mrow[t] = std::sqrt(re * re + im * im) * w;
-            phi[t] = fast_atan2(im, re);
-        }
-        // magnitude min/max over t = 1..T-1 (col 0 is dropped by the diff)
-        float bm_min = INFINITY, bm_max = -INFINITY;
-        for (int64_t t = 1; t < T; ++t) {
-            bm_min = mrow[t] < bm_min ? mrow[t] : bm_min;
-            bm_max = mrow[t] > bm_max ? mrow[t] : bm_max;
-        }
-        if (bm_min < m_min) m_min = bm_min;
-        if (bm_max > m_max) m_max = bm_max;
-
-        // pack kept magnitude frames: contiguous n_vec-long runs per chunk
-        float* magn_row = out + b * n_vec;                 // + c*chunk_stride
-        for (int64_t c = 0; c < n_chunks; ++c) {
-            std::memcpy(magn_row + c * chunk_stride,
-                        mrow + 1 + trim + c * n_vec,
-                        n_vec * sizeof(float));
-        }
-
-        // stage B: scalar f64 wrapped diff, packed + min/max on the fly
-        float* phase_row = out + chan_stride + b * n_vec;  // channel 1
-        for (int64_t t = 1; t < T; ++t) {
-            const double d = (double)phi[t] - (double)phi[t - 1];
-            float p;
-            if (d < pi && d > -pi) {
-                p = (float)d;
-            } else {
-                double dm = std::fmod(d + pi, two_pi);
-                if (dm < 0.0) dm += two_pi;
-                dm -= pi;
-                if (dm == -pi && d > 0.0) dm = pi;
-                p = (float)dm;
+    auto flush_block = [&](int64_t fill, int64_t k0) {
+        // (n_bins, kBlock) staging -> out[c][ch][b][v0 .. v0+fill)
+        const int64_t c = k0 / n_vec, v0 = k0 % n_vec;
+        float* mbase = out + c * chunk_stride + v0;
+        float* pbase = mbase + chan_stride;
+        if (fill == kBlock) {
+            for (int64_t b = 0; b < n_bins; ++b) {
+                std::memcpy(mbase + b * n_vec, mblk + b * kBlock,
+                            kBlock * sizeof(float));
+                std::memcpy(pbase + b * n_vec, pblk + b * kBlock,
+                            kBlock * sizeof(float));
             }
-            if (p < p_min) p_min = p;
-            if (p > p_max) p_max = p;
-            const int64_t k = (t - 1) - trim;  // index into kept frames
-            if (k >= 0) {
-                phase_row[(k / n_vec) * chunk_stride + (k % n_vec)] = p;
+        } else {
+            for (int64_t b = 0; b < n_bins; ++b) {
+                std::memcpy(mbase + b * n_vec, mblk + b * kBlock,
+                            fill * sizeof(float));
+                std::memcpy(pbase + b * n_vec, pblk + b * kBlock,
+                            fill * sizeof(float));
+            }
+        }
+    };
+
+    for (int64_t t = 1; t < T; ++t) {
+        const float* row = z + 2 * t * ld;
+        // stage A (f32 vector): magnitude + raw phase
+        for (int64_t b = 0; b < n_bins; ++b) {
+            const float re = row[2 * b], im = row[2 * b + 1];
+            mrow[b] = std::sqrt(re * re + im * im) * bark[b];
+            prow[b] = fast_atan2(im, re);
+        }
+        // stage B (f64 vector, branchless): wrapped diff + carry
+        for (int64_t b = 0; b < n_bins; ++b) {
+            d64[b] = (double)prow[b] - (double)phi_prev[b];
+        }
+        std::memcpy(phi_prev, prow, n_bins * sizeof(float));
+        for (int64_t b = 0; b < n_bins; ++b) {
+            const double d = d64[b];
+            const double shifted = d + pi;
+            double dm = shifted - two_pi * std::floor(shifted / two_pi) - pi;
+            dm = (dm == -pi && d > 0.0) ? pi : dm;
+            d64[b] = (d < pi && d > -pi) ? d : dm;
+        }
+        for (int64_t b = 0; b < n_bins; ++b) {
+            prow[b] = (float)d64[b];
+        }
+        // stage C (vector): per-track min/max over ALL frames
+        lane_minmax(mrow, n_bins, mlo, mhi);
+        lane_minmax(prow, n_bins, plo, phi_);
+
+        // stage D: stage the frame column; flush full blocks contiguously
+        const int64_t k = (t - 1) - trim;
+        if (k >= 0) {
+            if (blk_fill == 0) blk_k0 = k;
+            for (int64_t b = 0; b < n_bins; ++b) {
+                mblk[b * kBlock + blk_fill] = mrow[b];
+                pblk[b * kBlock + blk_fill] = prow[b];
+            }
+            ++blk_fill;
+            // flush at block capacity or at a chunk boundary (n_vec may
+            // not be a multiple of kBlock in tests)
+            if (blk_fill == kBlock || (k + 1) % n_vec == 0) {
+                flush_block(blk_fill, blk_k0);
+                blk_fill = 0;
             }
         }
     }
-    std::free(scratch);
+    if (blk_fill > 0) flush_block(blk_fill, blk_k0);
+
+    float m_min = mlo[0], m_max = mhi[0], p_min = plo[0], p_max = phi_[0];
+    for (int j = 1; j < kLanes; ++j) {
+        m_min = mlo[j] < m_min ? mlo[j] : m_min;
+        m_max = mhi[j] > m_max ? mhi[j] : m_max;
+        p_min = plo[j] < p_min ? plo[j] : p_min;
+        p_max = phi_[j] > p_max ? phi_[j] : p_max;
+    }
+    std::free(buf);
 
     // final: normalize in place, float32 op order matching the numpy mirror
     const float m_scale = (float)(2.0 / (double)(m_max - m_min));

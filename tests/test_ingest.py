@@ -296,7 +296,8 @@ def test_native_tail_sign_flip_edge():
     z[0] = np.where(np.arange(t) % 2 == 0, 1.0, -1.0).astype(np.complex64)
     bark = _bark_scale_np(n_bins, 44100)
 
-    got = native.magn_phase_pack(z, bark, n_vec)
+    # the native API takes the frame-major (T, ld) rfft layout
+    got = native.magn_phase_pack(np.ascontiguousarray(z.T), bark, n_vec)
 
     magn = np.abs(z) * bark[:, None]
     phase = ingest._phase_diff_np(np.angle(z))
