@@ -90,26 +90,46 @@ def conv2d(
 ) -> jnp.ndarray:
     """3x3/1x1 'same' convolution in NHWC on the MXU.
 
-    Operands are cast to ``compute_dtype`` (bfloat16 for mixed precision)
-    with float32 accumulation via ``preferred_element_type``.
+    Operands are cast to ``compute_dtype`` (bfloat16 for mixed precision).
+    float32: f32 accumulation via ``preferred_element_type``.  bfloat16:
+    the conv computes IN bf16 (the MXU still accumulates partial products
+    in f32 internally) and the result is upcast afterwards — mixing
+    ``preferred_element_type=f32`` with bf16 operands breaks the conv
+    TRANSPOSE rule under ``jax.grad`` (f32 cotangents meet bf16 weights:
+    "requires arguments to have the same dtypes"), which the WGAN-GP
+    input-gradient exercises every step.
     """
-    out = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        p["w"].astype(compute_dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
-    )
+    if compute_dtype == jnp.float32:
+        out = jax.lax.conv_general_dilated(
+            x.astype(compute_dtype),
+            p["w"].astype(compute_dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=_DIMS,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jax.lax.conv_general_dilated(
+            x.astype(compute_dtype),
+            p["w"].astype(compute_dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=_DIMS,
+        ).astype(jnp.float32)
     return out + p["b"]
 
 
 def linear(x: jnp.ndarray, p: dict, compute_dtype=jnp.float32) -> jnp.ndarray:
-    out = jnp.matmul(
-        x.astype(compute_dtype),
-        p["w"].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
+    if compute_dtype == jnp.float32:
+        out = jnp.matmul(
+            x.astype(compute_dtype),
+            p["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:  # see conv2d: keep grad-transpose dtypes consistent
+        out = jnp.matmul(
+            x.astype(compute_dtype), p["w"].astype(compute_dtype)
+        ).astype(jnp.float32)
     return out + p["b"]
 
 
@@ -185,9 +205,13 @@ def conv3x3_on_nearest_up2x(
                 window_strides=(1, 1),
                 padding=(pad[a], pad[bb]),
                 dimension_numbers=_DIMS,
-                preferred_element_type=jnp.float32,
+                # bf16 operands keep bf16 output (see conv2d: mixed-dtype
+                # conv transpose breaks under jax.grad), upcast after
+                preferred_element_type=(
+                    jnp.float32 if compute_dtype == jnp.float32 else None
+                ),
             )
-            row_phase.append(y)
+            row_phase.append(y.astype(jnp.float32))
         phases.append(jnp.stack(row_phase, axis=3))  # (B, H, W, 2, cout)
     t = jnp.stack(phases, axis=2)  # (B, H, 2, W, 2, cout)
     out = t.reshape(b, 2 * h, 2 * wd, -1)

@@ -64,6 +64,9 @@ def main() -> None:
     outs = {d: os.path.join(args.out_root, d) for d in ("float32", "bfloat16")}
     if not args.skip_train:
         for dtype, out in outs.items():
+            if os.path.isfile(os.path.join(out, "metrics.csv")):
+                print(f"[bf16cmp] reusing completed {dtype} run at {out}")
+                continue
             run(args.dataset, out, dtype, args.schedule_div, args.max_iters)
 
     f32 = load_metrics(outs["float32"])

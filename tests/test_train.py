@@ -130,6 +130,25 @@ def test_dg_step_updates_both(state0):
     assert np.isfinite(float(metrics["gen_loss"]))
 
 
+def test_bf16_step_runs_and_is_finite(state0):
+    """compute_dtype=bfloat16 must trace and run the FULL step — including
+    the WGAN-GP input-gradient, whose conv-transpose rule rejects mixed
+    f32/bf16 operands (the regression this test pins: bf16 was 'plumbed
+    but unvalidated' until it crashed on first real use)."""
+    cfg = dataclasses.replace(FAST_CFG, compute_dtype="bfloat16")
+    step = build_step(1, with_gen=True, model_cfg=TINY_CFG, train_cfg=cfg)
+    before = _snapshot(state0)
+    state1, metrics = step(state0, _raw_batch(), jnp.float32(0.5))
+    assert not _leaf_equal(before.disc_params, state1.disc_params)
+    assert not _leaf_equal(before.gen_params, state1.gen_params)
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(list(m.values())).all()
+    assert m["grad_pen"] >= 0.0
+    # params/opt state remain f32 regardless of compute dtype
+    for leaf in jax.tree_util.tree_leaves(state1.gen_params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_step_decreases_d_loss_over_iters():
     """A few critic steps on fixed data should reduce the critic loss.
 
