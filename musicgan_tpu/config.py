@@ -89,7 +89,12 @@ class TrainConfig:
     nb_preview: int = 6
     seed: int = 0
     # TPU-specific knobs (no reference equivalent).
-    compute_dtype: str = "float32"   # "bfloat16" enables mixed matmul compute
+    compute_dtype: str = "float32"   # "bfloat16" enables mixed matmul
+    # compute.  Default stays float32: validated stage-0..4 comparison
+    # (VALIDATION.md r2) shows bf16 tracking f32 through 32x32 but the
+    # WGAN gradient penalty destabilizing at 64x64 (GP regularizes an
+    # INPUT gradient — the quantity bf16 operand rounding perturbs most).
+    # Inference uses ModelConfig.conv_impl="pallas_bf16" instead.
     data_axis: str = "data"          # mesh axis name for data parallelism
     max_stage: Optional[int] = None  # cap growth (e.g. 3 for 32x32 runs)
     chunk_steps: int = 10            # iterations per dispatch (lax.scan);
