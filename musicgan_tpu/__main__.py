@@ -1,10 +1,13 @@
 """CLI: the reference's four subcommands (reference ``__main__.py:11-124``)
-plus TPU-era extras (``--resume``, config overrides, ``bench``).
+plus TPU-era extras (``--resume``, config overrides, ``export``,
+``serve``).
 
     python -m musicgan_tpu create_dataset "/data/*.wav" -o /data/ds
     python -m musicgan_tpu train RUN -i /data/ds -o /runs/out [--resume]
     python -m musicgan_tpu generate CKPT 32 -o /out [-n 10] [-m 5]
     python -m musicgan_tpu view_audio --input-audio a.wav --image-idx 0
+    python -m musicgan_tpu serve CKPT --port 8765
+    python -m musicgan_tpu export CKPT -o gen.pt
 """
 
 from __future__ import annotations
