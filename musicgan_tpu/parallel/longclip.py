@@ -50,6 +50,15 @@ def sharded_synthesize_fn(
     )
     def synth(params, z):
         img = generator_forward(params, z, stage, 1.0, model_cfg)
+        if stage < model_cfg.n_stages - 1:
+            # partial-growth audition: nearest-upsample to full resolution
+            # (matches generate._synthesize); the resize is local per
+            # output pixel, so the time sharding survives it
+            factor = 2 ** (model_cfg.n_stages - 1 - stage)
+            m, h, w, c = img.shape
+            img = jax.image.resize(
+                img, (m, h * factor, w * factor, c), method="nearest"
+            )
         # keep activations time-sharded through the vocoder
         img = jax.lax.with_sharding_constraint(
             img, NamedSharding(mesh, P(None, None, axis, None))

@@ -79,14 +79,29 @@ class SynthesisService:
         max_batch: int = 8,
         window_ms: float = 10.0,
         default_stage: int = 7,
+        mesh="auto",
+        longclip_min_nb_vec: int = 4,
     ):
+        """``mesh``: "auto" builds a data mesh over all visible devices
+        when there is more than one; ``None`` forces single-device; or
+        pass an explicit ``jax.sharding.Mesh``.  A solo request whose
+        latent width divides over the mesh runs TIME-SHARDED across all
+        devices (``parallel/longclip.py``) — long clips scale with the
+        mesh instead of serializing on one chip."""
         self.params = jax.device_put(params)  # resident for the server's life
         self.model_cfg = model_cfg
         self.audio_cfg = audio_cfg
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self.default_stage = default_stage
+        if isinstance(mesh, str) and mesh == "auto":
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh() if len(jax.devices()) > 1 else None
+        self.mesh = mesh
+        self.longclip_min_nb_vec = longclip_min_nb_vec
         self._fns: dict = {}  # stage -> synthesize fn (jit cache inside)
+        self._longclip_fns: dict = {}  # stage -> time-sharded fn
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self.stats = {
@@ -168,7 +183,43 @@ class SynthesisService:
                     if not r.future.done():
                         r.future.set_exception(e)
 
+    def _use_longclip(self, batch: list[_Request]) -> bool:
+        if self.mesh is None or len(batch) != 1:
+            return False
+        nb_vec = batch[0].nb_vec
+        return (
+            nb_vec >= self.longclip_min_nb_vec
+            and (self.model_cfg.latent_width * nb_vec) % self.mesh.size == 0
+        )
+
+    def _execute_longclip(self, req: _Request) -> None:
+        """Solo long request: shard the synthesis time axis over the mesh
+        (XLA SPMD halo exchanges + scan carry; parallel/longclip.py)."""
+        from .parallel.longclip import sharded_synthesize_fn
+
+        cfg = self.model_cfg
+        stage = req.stage
+        if stage not in self._longclip_fns:
+            self._longclip_fns[stage] = sharded_synthesize_fn(
+                self.mesh, cfg, stage
+            )
+        z = jax.random.normal(
+            jax.random.PRNGKey(req.seed),
+            (1, cfg.latent_height, cfg.latent_width * req.nb_vec,
+             cfg.rand_channels),
+        )
+        wave = np.asarray(self._longclip_fns[stage](self.params, z))
+        sig = f"stage{stage}/nb_vec{req.nb_vec}/longclip{self.mesh.size}"
+        self.stats["requests"] += 1
+        self.stats["batches"] += 1
+        if sig not in self.stats["signatures"]:
+            self.stats["signatures"].append(sig)
+        req.future.set_result(np.asarray(wave, np.float32))
+
     def _execute(self, batch: list[_Request]) -> None:
+        if self._use_longclip(batch):
+            self._execute_longclip(batch[0])
+            return
         stage, nb_vec = batch[0].signature
         cfg = self.model_cfg
         bucket = _next_bucket(len(batch), self.max_batch)

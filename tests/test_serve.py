@@ -74,6 +74,40 @@ def test_mixed_signatures_not_merged(service):
     assert abs(w2.shape[0] - 2 * w1.shape[0]) <= 1024
 
 
+def test_longclip_route_matches_unsharded(service):
+    """A solo wide request routes through the time-sharded mesh path and
+    produces the same waveform as the single-device graph (to sharded-
+    vs-unsharded tolerance)."""
+    from musicgan_tpu.generate import synthesize_fn
+
+    assert service.mesh is not None  # 8 virtual CPU devices (conftest)
+    nb_vec = 4  # latent width 2*4 = 8 divides the 8-device mesh
+    w = service.submit(seed=21, nb_vec=nb_vec, stage=STAGE).result(timeout=600)
+    assert any("longclip" in s for s in service.stats["signatures"])
+
+    z = jax.random.normal(
+        jax.random.PRNGKey(21),
+        (1, TINY_MODEL.latent_height, TINY_MODEL.latent_width * nb_vec,
+         TINY_MODEL.rand_channels),
+    )
+    ref = np.asarray(
+        synthesize_fn(TINY_MODEL, STAGE)(service.params, z)
+    )[0]
+    assert w.shape == ref.shape
+    np.testing.assert_allclose(w, ref, atol=5e-4)
+
+
+def test_longclip_not_used_for_batches(service):
+    """Concurrent wide requests still micro-batch on the vmapped path
+    (the time-sharded graph is solo-request only)."""
+    before = [s for s in service.stats["signatures"]]
+    futs = [service.submit(seed=s, nb_vec=4, stage=STAGE) for s in range(3)]
+    waves = [f.result(timeout=600) for f in futs]
+    assert all(np.isfinite(w).all() for w in waves)
+    new = [s for s in service.stats["signatures"] if s not in before]
+    assert any("b2" in s or "b4" in s for s in new) or not new
+
+
 def test_invalid_args(service):
     with pytest.raises(ValueError):
         service.submit(seed=0, nb_vec=0)
