@@ -42,6 +42,10 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--drift-eps", type=float, default=None,
+                   help="ProGAN eps-drift penalty on E[D(real)^2] "
+                        "(0 = reference-faithful; ~1e-3 stabilizes the "
+                        "critic scale on small corpora)")
     p.add_argument("--chunk-steps", type=int, default=None,
                    help="iterations per device dispatch (lax.scan)")
     p.add_argument("--profile", type=str, default=None, metavar="TRACE_DIR",
@@ -139,6 +143,7 @@ def main() -> None:
             seed=args.seed,
             compute_dtype=args.compute_dtype,
             chunk_steps=args.chunk_steps,
+            drift_eps=args.drift_eps,
         )
         ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
         with ctx:

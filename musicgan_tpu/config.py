@@ -76,6 +76,12 @@ class TrainConfig:
     nb_epoch: int = 1000
     n_critic: int = 5                # G step every 5th iteration
     grad_penalty_weight: float = 10.0
+    # Epsilon-drift penalty (ProGAN paper §A.1: + eps * E[D(x_real)^2]).
+    # 0.0 = reference-faithful (the reference has no drift term and its
+    # critic scores wander on small corpora — VALIDATION.md); ~1e-3
+    # anchors the critic output scale without touching the Wasserstein
+    # objective's gradients w.r.t. score DIFFERENCES.
+    drift_eps: float = 0.0
     # Progressive-growth schedule, in cumulative samples viewed.
     fadein_lengths: Tuple[int, ...] = (
         1, 25_000, 37_500, 50_000, 62_500, 75_000, 87_500, 100_000,

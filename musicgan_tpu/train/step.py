@@ -161,6 +161,13 @@ def _make_iteration(
         out_real = disc_fwd(disc_params, x_real, alpha)
         out_fake = disc_fwd(disc_params, x_fake, alpha)
         w_loss = wasserstein_discriminator_loss(out_real, out_fake)
+        if train_cfg.drift_eps:  # static: 0.0 keeps the reference graph
+            # ProGAN eps-drift: anchors the critic's output scale (the
+            # Wasserstein objective is shift-invariant, so D(x) wanders
+            # unboundedly on small corpora — VALIDATION.md r2).
+            w_loss = w_loss + train_cfg.drift_eps * jnp.mean(
+                jnp.square(out_real)
+            )
 
         # WGAN-GP (reference discriminator.py:157-184): gradient of the
         # critic at a random interpolate must have unit norm.

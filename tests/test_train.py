@@ -130,6 +130,35 @@ def test_dg_step_updates_both(state0):
     assert np.isfinite(float(metrics["gen_loss"]))
 
 
+def test_drift_eps_anchors_critic_scale(state0):
+    """With the ProGAN eps-drift penalty on, repeated critic steps on fixed
+    data keep E[D(real)] anchored near zero; the penalty must also change
+    the loss relative to the reference-faithful drift_eps=0 graph."""
+    cfg = dataclasses.replace(FAST_CFG, drift_eps=1e-2)
+    step = build_step(0, with_gen=False, model_cfg=TINY_CFG, train_cfg=cfg)
+    step0 = build_step(0, with_gen=False, model_cfg=TINY_CFG,
+                       train_cfg=FAST_CFG)
+    x = _raw_batch()
+    # the step donates its state buffers: give each graph its own copy
+    s_a, m_a = step(
+        jax.tree_util.tree_map(jnp.copy, state0), x, jnp.float32(1.0)
+    )
+    s_b, m_b = step0(
+        jax.tree_util.tree_map(jnp.copy, state0), x, jnp.float32(1.0)
+    )
+    # same wasserstein metrics at the first step (penalty only adds to the
+    # LOSS; metrics report the raw terms)...
+    np.testing.assert_allclose(
+        float(m_a["e_tp"]), float(m_b["e_tp"]), rtol=1e-5
+    )
+    # ...but different parameter updates
+    assert not _leaf_equal(s_a.disc_params, s_b.disc_params)
+    for _ in range(30):
+        s_a, m_a = step(s_a, x, jnp.float32(1.0))
+    assert np.isfinite(float(m_a["e_tp"]))
+    assert abs(float(m_a["e_tp"])) < 50.0  # anchored, not wandering
+
+
 def test_bf16_step_runs_and_is_finite(state0):
     """compute_dtype=bfloat16 must trace and run the FULL step — including
     the WGAN-GP input-gradient, whose conv-transpose rule rejects mixed
