@@ -88,6 +88,10 @@ def main() -> None:
     p.add_argument("--stage", type=int, default=7)
     p.add_argument("--no-warmup", action="store_true")
 
+    sub.add_parser(
+        "info", help="environment diagnostics: devices, native ops, autotune"
+    )
+
     p = sub.add_parser(
         "export", help="export a trained generator as a reference-format .pt"
     )
@@ -195,6 +199,27 @@ def main() -> None:
             stage=args.stage,
             warmup=not args.no_warmup,
         )
+
+    elif args.mode == "info":
+        import json as _json
+        import platform
+
+        import jax
+
+        from . import native
+        from .ops import autotune
+
+        info = {
+            "python": platform.python_version(),
+            "jax": jax.__version__,
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "process_count": jax.process_count(),
+            "native_ingest": native.is_available(),
+            "native_lib": native.lib_path() if native.is_available() else None,
+            "autotune_cache": autotune._load_persisted(),
+        }
+        print(_json.dumps(info, indent=1))
 
     elif args.mode == "export":
         from .generate import load_generator_params
