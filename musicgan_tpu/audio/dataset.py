@@ -113,6 +113,34 @@ class SpectrogramDataset:
         """-> float32 ``(B, 2, 512, 512)`` batch."""
         return np.stack([self[int(i)] for i in indices], axis=0)
 
+    def nbytes(self) -> int:
+        s = self.index.get("sample_shape", [2, 512, 512])
+        return len(self) * int(np.prod(s)) * 4
+
+    def as_array(self) -> np.ndarray:
+        """Materialize the whole corpus as one float32 array (the
+        device-resident dataset mode ships this to HBM once)."""
+        if self._shards is not None:
+            return np.concatenate(
+                [np.asarray(s, np.float32) for s in self._shards], axis=0
+            )
+        return self.gather(np.arange(len(self)))
+
+
+def batch_indices(
+    dataset_len: int, batch_size: int, seed: int, drop_last: bool = True
+) -> Iterator[np.ndarray]:
+    """One epoch of shuffled index batches (the device-resident dataset
+    mode ships these instead of sample data; single-host)."""
+    perm = np.random.default_rng(seed).permutation(dataset_len)
+    n = (
+        len(perm) // batch_size
+        if drop_last
+        else -(-len(perm) // batch_size)
+    )
+    for b in range(n):
+        yield perm[b * batch_size : (b + 1) * batch_size].astype(np.int32)
+
 
 def batch_iterator(
     dataset: SpectrogramDataset,

@@ -110,6 +110,13 @@ class TrainConfig:
     # transfer then scales with stage resolution (16,000x less at 4x4)
     # instead of always shipping raw 512x512 batches; numerically identical
     # (tests/test_host_pipeline.py)
+    device_dataset: str = "auto"     # "on" | "off" | "auto": ship the whole
+    # spectrogram corpus to HBM once and pass per-step INDICES instead of
+    # batches — steady-state H2D drops to bytes/iter (and works around
+    # PJRT clients that retain every transfer buffer, PERF.md).  "auto"
+    # enables it for single-host single-device runs whose corpus fits
+    # device_dataset_budget_bytes; implies the in-graph input pipeline.
+    device_dataset_budget_bytes: int = 4 << 30
 
 
 @dataclasses.dataclass(frozen=True)

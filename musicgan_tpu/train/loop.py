@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.dataset import SpectrogramDataset, batch_iterator
+from ..audio.dataset import SpectrogramDataset, batch_indices, batch_iterator
 from ..config import ModelConfig, TrainConfig
 from ..parallel.mesh import data_sharding, make_mesh
 from ..utils.metrics import MetricLogger
@@ -66,6 +66,19 @@ def train(
         f"{jax.process_count()} hosts"
     )
     x_sharding = data_sharding(mesh, train_cfg.data_axis) if mesh else None
+
+    # Device-resident dataset mode: corpus in HBM once, indices per step
+    # (see TrainConfig.device_dataset).  Single-host single-device scope.
+    use_dev_data = train_cfg.device_dataset == "on" or (
+        train_cfg.device_dataset == "auto"
+        and mesh is None
+        and jax.process_count() == 1
+        and dataset.nbytes() <= train_cfg.device_dataset_budget_bytes
+    )
+    if use_dev_data and (mesh is not None or jax.process_count() > 1):
+        raise ValueError("device_dataset='on' requires a single-host, "
+                         "single-device run")
+    data_dev = jnp.asarray(dataset.as_array()) if use_dev_data else None
 
     def to_global(local_np, sharding):
         """Assemble the global batch from this host's shard.  Single-host:
@@ -118,7 +131,8 @@ def train(
             steps[key] = build_step(
                 stage, with_gen, model_cfg, train_cfg,
                 mesh=mesh, data_axis=train_cfg.data_axis,
-                pre_scaled=train_cfg.host_pipeline,
+                pre_scaled=train_cfg.host_pipeline and not use_dev_data,
+                device_data=use_dev_data,
             )
         return steps[key]
 
@@ -129,7 +143,8 @@ def train(
             chunk_steps[stage] = build_chunk_step(
                 stage, train_cfg.chunk_steps, model_cfg, train_cfg,
                 mesh=mesh, data_axis=train_cfg.data_axis,
-                pre_scaled=train_cfg.host_pipeline,
+                pre_scaled=train_cfg.host_pipeline and not use_dev_data,
+                device_data=use_dev_data,
             )
         return chunk_steps[stage]
 
@@ -217,18 +232,23 @@ def train(
         alpha = grower.alpha
         with_gen = iter_idx % train_cfg.n_critic == 0
 
-        if train_cfg.host_pipeline:
-            from ..audio.host_pipeline import prepare_batch
-
-            x_raw = prepare_batch(x_raw, 4 * 2**stage)
-        if x_sharding is not None:
-            x = to_global(x_raw, x_sharding)
+        if use_dev_data:  # x_raw is an index batch
+            state, metrics = get_step(stage, with_gen)(
+                state, data_dev, jnp.asarray(x_raw), jnp.float32(alpha)
+            )
         else:
-            x = jnp.asarray(x_raw)
+            if train_cfg.host_pipeline:
+                from ..audio.host_pipeline import prepare_batch
 
-        state, metrics = get_step(stage, with_gen)(
-            state, x, jnp.float32(alpha)
-        )
+                x_raw = prepare_batch(x_raw, 4 * 2**stage)
+            if x_sharding is not None:
+                x = to_global(x_raw, x_sharding)
+            else:
+                x = jnp.asarray(x_raw)
+
+            state, metrics = get_step(stage, with_gen)(
+                state, x, jnp.float32(alpha)
+            )
         # Materialize metrics on the cadence only (no per-step device sync).
         if iter_idx % train_cfg.log_every == 0:
             log_metrics(epoch, iter_idx, stage, metrics, with_gen, alpha)
@@ -247,23 +267,29 @@ def train(
         gen_mask = np.array(
             [(iter_idx + i) % train_cfg.n_critic == 0 for i in range(k)]
         )
-        if train_cfg.host_pipeline:
-            from ..audio.host_pipeline import prepare_batch
-
-            items = [prepare_batch(b, 4 * 2**stage) for b in items]
-        if x_sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            x_stack = to_global(
-                np.stack(items),
-                NamedSharding(mesh, P(None, train_cfg.data_axis)),
+        if use_dev_data:  # items are index batches
+            state, mstack = get_chunk_step(stage)(
+                state, data_dev, jnp.asarray(np.stack(items)),
+                jnp.asarray(alphas), jnp.asarray(gen_mask),
             )
         else:
-            x_stack = jnp.asarray(np.stack(items))
+            if train_cfg.host_pipeline:
+                from ..audio.host_pipeline import prepare_batch
 
-        state, mstack = get_chunk_step(stage)(
-            state, x_stack, jnp.asarray(alphas), jnp.asarray(gen_mask)
-        )
+                items = [prepare_batch(b, 4 * 2**stage) for b in items]
+            if x_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                x_stack = to_global(
+                    np.stack(items),
+                    NamedSharding(mesh, P(None, train_cfg.data_axis)),
+                )
+            else:
+                x_stack = jnp.asarray(np.stack(items))
+
+            state, mstack = get_chunk_step(stage)(
+                state, x_stack, jnp.asarray(alphas), jnp.asarray(gen_mask)
+            )
         base_iter = iter_idx
         for i in range(k):
             if (base_iter + i) % train_cfg.log_every == 0:
@@ -285,15 +311,27 @@ def train(
         # appended since the last epoch.  Single-process only — multi-host
         # batch composition derives from len(dataset), and hosts must not
         # observe different snapshots of a still-growing index.
-        if num_hosts == 1 and dataset.refresh() and lead:
-            print(f"[dataset] grew to {len(dataset)} samples", flush=True)
-        for x_raw in batch_iterator(
-            dataset,
-            train_cfg.batch_size // num_hosts,
-            seed=train_cfg.seed + epoch,
-            host_id=host_id,
-            num_hosts=num_hosts,
-        ):
+        if num_hosts == 1 and dataset.refresh():
+            if lead:
+                print(f"[dataset] grew to {len(dataset)} samples", flush=True)
+            if use_dev_data:
+                data_dev = jnp.asarray(dataset.as_array())  # re-ship once
+        epoch_batches = (
+            batch_indices(
+                len(dataset),
+                train_cfg.batch_size,
+                seed=train_cfg.seed + epoch,
+            )
+            if use_dev_data
+            else batch_iterator(
+                dataset,
+                train_cfg.batch_size // num_hosts,
+                seed=train_cfg.seed + epoch,
+                host_id=host_id,
+                num_hosts=num_hosts,
+            )
+        )
+        for x_raw in epoch_batches:
             if chunk_n == 1:
                 run_single(epoch, x_raw)
             else:

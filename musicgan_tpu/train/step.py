@@ -293,6 +293,7 @@ def build_step(
     mesh=None,
     data_axis: str | None = None,
     pre_scaled: bool = False,
+    device_data: bool = False,
 ):
     """Compile a one-iteration graph for ``stage``.  Memoized on all
     arguments (configs are frozen dataclasses, ``Mesh`` is hashable): the
@@ -305,6 +306,21 @@ def build_step(
     gradient all-reduces implied by the loss mean-reductions.
     """
     iteration = _make_iteration(stage, model_cfg, train_cfg, pre_scaled)
+
+    if device_data:
+        # Device-resident dataset mode: the whole corpus lives in HBM and
+        # each dispatch ships only row indices — steady-state H2D drops
+        # from megabytes to bytes per step (and sidesteps PJRT clients
+        # that retain every transfer buffer; PERF.md).  The per-stage
+        # input pipeline necessarily runs in-graph.  Single-device scope.
+        assert mesh is None, "device_data is single-device (no mesh)"
+        assert not pre_scaled, "device_data implies the in-graph pipeline"
+
+        def step_dev(state, data, idx, alpha):
+            x_raw = jnp.take(data, idx, axis=0)
+            return iteration(state, x_raw, alpha, bool(with_gen))
+
+        return jax.jit(step_dev, donate_argnums=(0,))
 
     def step(state, x_raw, alpha):
         return iteration(state, x_raw, alpha, bool(with_gen))
@@ -323,6 +339,7 @@ def build_chunk_step(
     mesh=None,
     data_axis: str | None = None,
     pre_scaled: bool = False,
+    device_data: bool = False,
 ):
     """Compile a K-iteration graph: ``chunk_step(state, x_stack, alphas,
     gen_mask) -> (state, metrics_stack)``.  Memoized like ``build_step``.
@@ -334,6 +351,22 @@ def build_chunk_step(
     steps.
     """
     iteration = _make_iteration(stage, model_cfg, train_cfg, pre_scaled)
+
+    if device_data:
+        assert mesh is None, "device_data is single-device (no mesh)"
+        assert not pre_scaled, "device_data implies the in-graph pipeline"
+
+        def chunk_step_dev(state, data, idx_stack, alphas, gen_mask):
+            assert idx_stack.shape[0] == chunk
+
+            def body(carry, inp):
+                idx, alpha, do_g = inp
+                x = jnp.take(data, idx, axis=0)
+                return iteration(carry, x, alpha, do_g)
+
+            return jax.lax.scan(body, state, (idx_stack, alphas, gen_mask))
+
+        return jax.jit(chunk_step_dev, donate_argnums=(0,))
 
     def chunk_step(state, x_stack, alphas, gen_mask):
         assert x_stack.shape[0] == chunk, (

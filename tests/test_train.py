@@ -130,6 +130,38 @@ def test_dg_step_updates_both(state0):
     assert np.isfinite(float(metrics["gen_loss"]))
 
 
+def test_device_dataset_mode_matches_streaming(tmp_path):
+    """Device-resident dataset mode (corpus in HBM, indices per dispatch)
+    trains identically to the streaming path: same permutation, same
+    in-graph pipeline, same updates."""
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path)
+    base = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=100, nb_preview=1,
+        chunk_steps=3, host_pipeline=False,
+    )
+    out_a = str(tmp_path / "stream")
+    out_b = str(tmp_path / "devdata")
+    s_a = train(
+        "a", ds, out_a,
+        dataclasses.replace(base, device_dataset="off"),
+        TINY_CFG, max_iters=8, mesh=None,
+    )
+    s_b = train(
+        "b", ds, out_b,
+        dataclasses.replace(base, device_dataset="on"),
+        TINY_CFG, max_iters=8, mesh=None,
+    )
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_b)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(y, np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
 def test_drift_eps_anchors_critic_scale(state0):
     """With the ProGAN eps-drift penalty on, repeated critic steps on fixed
     data keep E[D(real)] anchored near zero; the penalty must also change
