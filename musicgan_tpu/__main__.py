@@ -42,6 +42,10 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--device-dataset", type=str, default=None,
+                   choices=["auto", "on", "off"],
+                   help="corpus resident in HBM, indices per dispatch "
+                        "(auto: single-device runs under the byte budget)")
     p.add_argument("--drift-eps", type=float, default=None,
                    help="ProGAN eps-drift penalty on E[D(real)^2] "
                         "(0 = reference-faithful; ~1e-3 stabilizes the "
@@ -148,6 +152,7 @@ def main() -> None:
             compute_dtype=args.compute_dtype,
             chunk_steps=args.chunk_steps,
             drift_eps=args.drift_eps,
+            device_dataset=args.device_dataset,
         )
         ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
         with ctx:
