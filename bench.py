@@ -49,7 +49,9 @@ from musicgan_tpu.models import generator_forward, init_generator
 
 NB_VEC = 20   # ~59.4 s of audio per synthesis
 K_GEN = 8     # on-device synthesis iterations per dispatch
-K_TRAIN = {0: 32, 7: 4}   # on-device train iterations per dispatch
+K_TRAIN = {0: 512, 7: 4}  # on-device train iterations per dispatch; stage 0
+# needs a big K so the dispatch dwarfs the scalar-RTT jitter (a 32-step
+# chunk runs in ~8 ms vs ~35 ms RTT, which once produced a negative rate)
 REPS = 3      # dispatches timed
 
 # Reference throughput measured on this host via the reference's own code
@@ -138,7 +140,9 @@ def bench_train(stage: int, rtt: float) -> None:
     for _ in range(REPS):
         state, m = chunk(state, xs, alphas, gen_mask)
         np.asarray(m["disc_loss"][-1])
-    per_iter = ((time.perf_counter() - t0) / REPS - rtt) / k
+    elapsed = (time.perf_counter() - t0) / REPS
+    # rtt is jittery; never let the correction flip the sign
+    per_iter = max(elapsed - rtt, 0.5 * elapsed) / k
     _emit(
         f"train_steps_per_sec_stage{stage}",
         1.0 / per_iter,
