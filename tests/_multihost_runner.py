@@ -23,6 +23,17 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
 
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import os
 
     tests_dir = os.path.dirname(os.path.abspath(__file__))
