@@ -122,11 +122,13 @@ def generator_forward(
     :func:`musicgan_tpu.ops.autotune.resolve_conv_impl`.
     """
     impl = cfg.conv_impl
-    if impl == "pallas":
-        return _generator_forward_nchw(params, z, stage, alpha, cfg)
-    if impl == "pallas_bf16":
+    if impl in ("pallas", "pallas_up", "pallas_bf16", "pallas_up_bf16"):
         return _generator_forward_nchw(
-            params, z, stage, alpha, cfg, compute_dtype=jnp.bfloat16
+            params, z, stage, alpha, cfg,
+            compute_dtype=(
+                jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+            ),
+            use_upconv=impl.startswith("pallas_up"),
         )
     if impl == "auto":
         impl = "xla"
@@ -149,7 +151,7 @@ def generator_forward(
 
 def _generator_forward_nchw(
     params: dict, z: jnp.ndarray, stage: int, alpha, cfg: ModelConfig,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, use_upconv: bool = False,
 ) -> jnp.ndarray:
     """Pallas fast path: the whole conv stack runs in NCHW via the fused
     3x3 kernel (``ops/conv.py`` — conv + bias + LeakyReLU + PixelNorm in
@@ -163,10 +165,16 @@ def _generator_forward_nchw(
     runs in float32.  The kernel is DMA-bound (PERF.md), so bytes, not
     FLOPs, set its speed.  Heads and fade-in stay float32.
 
+    ``use_upconv`` (impls ``"pallas_up"``/``"pallas_up_bf16"``) replaces
+    each block's up2x + conv3x3 with the fused sub-pixel kernel
+    (``ops/conv.py::fused_upconv3x3``): the 4x upsampled intermediate
+    never leaves VMEM, halving the HBM traffic of the up+conv pair on
+    this DMA-bound stack.
+
     Inference-only (``pallas_call`` here defines no VJP); ``build_step``
     rejects it for training.
     """
-    from ..ops.conv import fused_conv3x3
+    from ..ops.conv import fused_conv3x3, fused_upconv3x3
 
     interpret = jax.default_backend() == "cpu"
     slope = cfg.leaky_slope
@@ -178,6 +186,12 @@ def _generator_forward_nchw(
             pixel_norm=True, eps=eps, out_dtype=compute_dtype,
             interpret=interpret,
         )
+        if use_upconv:
+            return fused_upconv3x3(
+                x, p["conv2"]["w"], p["conv2"]["b"], slope=slope,
+                pixel_norm=True, eps=eps, out_dtype=compute_dtype,
+                interpret=interpret,
+            )
         x = upsample_nearest_2x_nchw(x)
         return fused_conv3x3(
             x, p["conv2"]["w"], p["conv2"]["b"], slope=slope,

@@ -35,7 +35,7 @@ __all__ = ["resolve_conv_impl", "measure_conv_impls"]
 _CACHE: dict = {}
 _K = 4          # forwards per timed dispatch
 _REPS = 2       # dispatches per candidate (best-of)
-_CACHE_VERSION = 3  # bump when any impl's kernel changes: invalidates
+_CACHE_VERSION = 5  # bump when any impl's kernel changes: invalidates
 # persisted winners picked against the old code (v1: pallas tile bug
 # disqualified it, freezing 'xla' on disk; v2: bf16 sublane-padding OOM
 # disqualified pallas_bf16 at wide shapes)
@@ -48,7 +48,12 @@ _CACHE_VERSION = 3  # bump when any impl's kernel changes: invalidates
 # rounding; bf16 I/O just also halves the HBM traffic (tested: the full
 # generator stack agrees with the f32 kernel to bf16 rounding).
 TRAINING_IMPLS = ("xla", "subpixel")
-ALL_IMPLS = ("xla", "subpixel", "pallas", "pallas_bf16")
+# "pallas_up*" additionally fuse each up2x+conv3x3 pair so the 4x
+# intermediate never leaves VMEM (ops/conv.py::fused_upconv3x3).
+ALL_IMPLS = (
+    "xla", "subpixel", "pallas", "pallas_bf16", "pallas_up",
+    "pallas_up_bf16",
+)
 
 
 def _persist_path() -> str | None:

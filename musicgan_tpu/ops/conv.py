@@ -28,7 +28,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_conv3x3", "pack_weights"]
+__all__ = [
+    "fused_conv3x3", "fused_upconv3x3", "pack_weights",
+    "pack_upconv_weights",
+]
 
 
 def pack_weights(w_hwio: jnp.ndarray) -> jnp.ndarray:
@@ -37,6 +40,32 @@ def pack_weights(w_hwio: jnp.ndarray) -> jnp.ndarray:
     kh, kw, cin, cout = w_hwio.shape
     assert (kh, kw) == (3, 3)
     return w_hwio.reshape(9 * cin, cout).T
+
+
+def pack_upconv_weights(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, cin, cout) -> (4, cout, 4*cin): the four sub-pixel phase
+    kernels of ``conv3x3(upsample_nearest_2x(x))`` (see
+    ``models/layers.py::conv3x3_on_nearest_up2x``), each packed like
+    :func:`pack_weights` with K ordered (dy, dx, c).  Phase index is
+    ``a * 2 + b`` for output pixel (2i+a, 2j+b)."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert (kh, kw) == (3, 3)
+    w = w_hwio
+    rows = [
+        jnp.stack([w[0], w[1] + w[2]], axis=0),  # a = 0: (2, 3, cin, cout)
+        jnp.stack([w[0] + w[1], w[2]], axis=0),  # a = 1
+    ]
+
+    def col_comb(wa, b):
+        if b == 0:
+            return jnp.stack([wa[:, 0], wa[:, 1] + wa[:, 2]], axis=1)
+        return jnp.stack([wa[:, 0] + wa[:, 1], wa[:, 2]], axis=1)
+
+    phases = [
+        col_comb(rows[a], b).reshape(4 * cin, cout).T
+        for a in (0, 1) for b in (0, 1)
+    ]
+    return jnp.stack(phases, axis=0)
 
 
 def _choose_tiles(cin: int, h: int, w: int, itemsize: int) -> tuple[int, int]:
@@ -95,6 +124,173 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, slab, patch, sem, *,
         mean_sq = jnp.mean(jnp.square(y), axis=0, keepdims=True)
         y = y * jax.lax.rsqrt(mean_sq + eps)
     o_ref[0] = y.reshape(cout, hb, wc).astype(o_ref.dtype)
+
+
+def _upconv_kernel(x_hbm, w_ref, b_ref, o_ref, slab, patch, sem, *,
+                   cin, cout, hb, wc, slope, pixel_norm, eps,
+                   upcast_dot=False, interp=False):
+    """conv3x3(up2x(x)) via the four sub-pixel phase convolutions, the 4x
+    upsampled intermediate never leaving VMEM.  Phase (a, b) sources the
+    2x2 input window at offsets (a+dy, b+dx), dy/dx in {0,1}; the slab's
+    leading halo row/col supplies offset 0."""
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bi, :, pl.ds(i * hb, hb + 8), pl.ds(j * wc, wc + 128)],
+        slab,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    ys = []
+    for a in range(2):
+        for b in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    patch[(dy * 2 + dx) * cin : (dy * 2 + dx + 1) * cin] = (
+                        slab[:, a + dy : a + dy + hb, b + dx : b + dx + wc]
+                    )
+            lhs = w_ref[a * 2 + b]
+            rhs = patch[:].reshape(4 * cin, hb * wc)
+            if upcast_dot:  # interpret mode: CPU lacks bf16 x bf16 dots
+                lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+            y = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+            y = y + b_ref[:]
+            if slope is not None:
+                y = jnp.where(y >= 0, y, slope * y)
+            if pixel_norm:
+                mean_sq = jnp.mean(jnp.square(y), axis=0, keepdims=True)
+                y = y * jax.lax.rsqrt(mean_sq + eps)
+            ys.append(y.reshape(cout, hb, wc))
+
+    # Interleave phases: out[c, 2r+a, 2q+b] = ys[a*2+b][c, r, q].
+    if o_ref.dtype == jnp.bfloat16 and not interp:
+        # Lane-local interleave via 16-bit pair packing: two bf16 packed
+        # into one u32 lane unpack (pltpu.bitcast) along the SECOND-MINOR
+        # dim with exactly interleave semantics (row 2r = low half).  The
+        # W interleave rides the same trick behind a minor-dim transpose.
+        # Everything is elementwise/bit ops + supported relayouts — no
+        # lane gathers (Mosaic rejects multi-vreg gather dimensions) and
+        # no trailing-1 shape casts.
+        def pack_pairs(lo, hi):  # bf16 pair -> u32, lo in the low bits
+            lo16 = pltpu.bitcast(lo, jnp.uint16).astype(jnp.uint32)
+            hi16 = pltpu.bitcast(hi, jnp.uint16).astype(jnp.uint32)
+            return lo16 | (hi16 << 16)
+
+        def w_interleave(y_b0, y_b1):  # f32 (cout,hb,wc) -> bf16 (cout,hb,2wc)
+            a0 = jnp.swapaxes(y_b0.astype(jnp.bfloat16), -1, -2)
+            a1 = jnp.swapaxes(y_b1.astype(jnp.bfloat16), -1, -2)
+            inter = pltpu.bitcast(pack_pairs(a0, a1), jnp.bfloat16)
+            return jnp.swapaxes(inter, -1, -2)
+
+        row0 = w_interleave(ys[0], ys[1])       # a = 0
+        row1 = w_interleave(ys[2], ys[3])       # a = 1
+        o_ref[0] = pltpu.bitcast(pack_pairs(row0, row1), jnp.bfloat16)
+    else:
+        # f32 output: stack + reshape (fine in the interpreter; Mosaic
+        # currently rejects these casts, so on TPU the autotuner simply
+        # never picks the f32 "pallas_up" — the bf16 variant is the point)
+        row0 = jnp.stack([ys[0], ys[1]], axis=-1)
+        row1 = jnp.stack([ys[2], ys[3]], axis=-1)
+        t = jnp.stack([row0, row1], axis=2)     # (cout, hb, 2, wc, 2)
+        o_ref[0] = t.reshape(cout, 2 * hb, 2 * wc).astype(o_ref.dtype)
+
+
+def _choose_upconv_tiles(cin, cout, h, w, itemsize):
+    """(hb, wc) for the upconv kernel.  The scoped-VMEM estimate must
+    cover everything live at once: the 4-tap patch and slab (input
+    dtype), the FOUR f32 phase outputs pre-interleave, the double-size
+    output tile, and ~2 tile-sized interleave temporaries (transposed /
+    packed copies)."""
+    wc = min(512, -(-w // 128) * 128)
+    hb = 8
+    padded_hb = max(hb, 32 // itemsize)
+
+    def est(wc):
+        patch_slab = (4 * cin * padded_hb * wc
+                      + cin * padded_hb * (wc + 128)) * itemsize
+        ys_f32 = 4 * cout * padded_hb * wc * 4
+        out_tile = cout * 2 * padded_hb * 2 * wc * itemsize * 3
+        return patch_slab + ys_f32 + out_tile
+
+    while wc > 128 and est(wc) > 10 * 2**20:
+        wc -= 128
+    return hb, wc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slope", "pixel_norm", "eps", "out_dtype", "interpret"),
+)
+def fused_upconv3x3(
+    x: jnp.ndarray,
+    w_hwio: jnp.ndarray,
+    b: jnp.ndarray,
+    slope: float | None = None,
+    pixel_norm: bool = False,
+    eps: float = 1e-8,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``conv3x3(upsample_nearest_2x(x))`` on NCHW ``(B, cin, H, W)`` ->
+    ``(B, cout, 2H, 2W)`` with fused bias / LeakyReLU / PixelNorm.
+
+    The 4x-sized upsampled intermediate exists only in VMEM — on the
+    DMA-bound generator stack this halves the HBM traffic of every
+    up+conv pair (the dominant term; PERF.md)."""
+    bsz, cin, h, w = x.shape
+    cout = w_hwio.shape[3]
+    assert w_hwio.shape[:3] == (3, 3, cin)
+
+    hb, wc = _choose_upconv_tiles(cin, cout, h, w, x.dtype.itemsize)
+    n_h = -(-h // hb)
+    n_w = -(-w // wc)
+    h_pad, w_pad = n_h * hb, n_w * wc
+
+    xp = jnp.pad(
+        x, ((0, 0), (0, 0), (1, h_pad + 7 - h), (1, w_pad + 127 - w))
+    )
+    w_packed = pack_upconv_weights(w_hwio).astype(x.dtype)  # (4, cout, 4cin)
+    b_col = b.reshape(cout, 1).astype(jnp.float32)
+
+    kern = functools.partial(
+        _upconv_kernel,
+        cin=cin, cout=cout, hb=hb, wc=wc,
+        slope=slope, pixel_norm=pixel_norm, eps=eps,
+        upcast_dot=interpret and x.dtype != jnp.float32,
+        interp=interpret,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, n_h, n_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                (4, cout, 4 * cin), lambda bi, i, j: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cout, 1), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, 2 * hb, 2 * wc), lambda bi, i, j: (bi, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, cout, 2 * h_pad, 2 * w_pad), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cin, hb + 8, wc + 128), x.dtype),
+            pltpu.VMEM((4 * cin, hb, wc), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, w_packed, b_col)
+    return out[:, :, : 2 * h, : 2 * w]
 
 
 @functools.partial(

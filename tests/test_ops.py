@@ -11,7 +11,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from musicgan_tpu.ops.conv import fused_conv3x3, pack_weights
+from musicgan_tpu.ops.conv import (
+    fused_conv3x3,
+    fused_upconv3x3,
+    pack_weights,
+)
 
 
 def _ref_conv(x, wt, bias, slope=None, pixel_norm=False, eps=1e-8):
@@ -52,6 +56,44 @@ def test_fused_conv3x3_no_epilogue(rng):
     got = fused_conv3x3(x, wt, bias, interpret=True)
     ref = _ref_conv(x, wt, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def _up2x_nchw(x):
+    b, c, h, w = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :, None], (b, c, h, 2, w, 2))
+    return x.reshape(b, c, 2 * h, 2 * w)
+
+
+@pytest.mark.parametrize(
+    "b,cin,cout,h,w",
+    [(1, 16, 32, 8, 256), (2, 32, 16, 10, 200), (1, 8, 8, 4, 128)],
+)
+def test_fused_upconv3x3_parity(rng, b, cin, cout, h, w):
+    """conv3x3(up2x(x)) fused in VMEM == the materialized reference."""
+    x = jnp.asarray(rng.standard_normal((b, cin, h, w)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(cout) * 0.1, jnp.float32)
+    got = fused_upconv3x3(
+        x, wt, bias, slope=0.2, pixel_norm=True, interpret=True
+    )
+    ref = _ref_conv(_up2x_nchw(x), wt, bias, slope=0.2, pixel_norm=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_upconv3x3_bf16_io(rng):
+    x32 = jnp.asarray(rng.standard_normal((1, 16, 8, 128)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    got = fused_upconv3x3(
+        x32.astype(jnp.bfloat16), wt, bias, slope=0.2, pixel_norm=True,
+        out_dtype=jnp.bfloat16, interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    ref = _ref_conv(_up2x_nchw(x32), wt, bias, slope=0.2, pixel_norm=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=0.06
+    )
 
 
 def test_fused_conv3x3_bf16_io(rng):
