@@ -134,6 +134,26 @@ def test_generator_pallas_bf16_close_to_f32(rng):
     )
 
 
+def test_generator_pallas_up_close_to_f32(rng):
+    """The fused up+conv generator stack (both dtypes) matches the XLA
+    path within the respective rounding budget."""
+    import dataclasses
+
+    from musicgan_tpu.models import generator_forward, init_generator
+    from tiny_cfg import TINY_MODEL
+
+    params = init_generator(jax.random.PRNGKey(0), TINY_MODEL)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 8))
+    f32 = generator_forward(params, z, 3, 1.0, TINY_MODEL)
+    for impl, atol in (("pallas_up", 1e-4), ("pallas_up_bf16", 0.08)):
+        cfg = dataclasses.replace(TINY_MODEL, conv_impl=impl)
+        out = generator_forward(params, z, 3, 1.0, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(f32), atol=atol,
+            err_msg=impl,
+        )
+
+
 def test_pack_weights_order(rng):
     wt = jnp.asarray(rng.standard_normal((3, 3, 4, 5)), jnp.float32)
     packed = np.asarray(pack_weights(wt))
