@@ -147,6 +147,10 @@ def test_reference_pt_directory_compat(tmp_path):
     assert len(ds) == 3
     x = ds[1]
     assert x.shape == (2, 512, 512) and x.dtype == np.float32
+    # device-dataset mode materializes .pt dirs through the same loader
+    full = ds.as_array()
+    assert full.shape == (3, 2, 512, 512) and full.dtype == np.float32
+    np.testing.assert_array_equal(full[1], x)
 
 
 def test_load_uint8_wav(tmp_path):
