@@ -43,7 +43,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from musicgan_tpu.audio import magn_phase_to_signal
+from musicgan_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # stage-7 graphs cost minutes through the
+# remote-compile tunnel; repeated bench runs reuse the persisted binaries
+
+from musicgan_tpu.audio import magn_phase_to_signal  # noqa: E402
 from musicgan_tpu.config import AudioConfig, ModelConfig, TrainConfig
 from musicgan_tpu.models import generator_forward, init_generator
 
