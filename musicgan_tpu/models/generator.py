@@ -122,13 +122,15 @@ def generator_forward(
     :func:`musicgan_tpu.ops.autotune.resolve_conv_impl`.
     """
     impl = cfg.conv_impl
-    if impl in ("pallas", "pallas_up", "pallas_bf16", "pallas_up_bf16"):
+    if impl in ("pallas", "pallas_up", "pallas_block", "pallas_bf16",
+                "pallas_up_bf16", "pallas_block_bf16"):
         return _generator_forward_nchw(
             params, z, stage, alpha, cfg,
             compute_dtype=(
                 jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
             ),
             use_upconv=impl.startswith("pallas_up"),
+            use_block=impl.startswith("pallas_block"),
         )
     if impl == "auto":
         impl = "xla"
@@ -152,6 +154,7 @@ def generator_forward(
 def _generator_forward_nchw(
     params: dict, z: jnp.ndarray, stage: int, alpha, cfg: ModelConfig,
     compute_dtype=jnp.float32, use_upconv: bool = False,
+    use_block: bool = False,
 ) -> jnp.ndarray:
     """Pallas fast path: the whole conv stack runs in NCHW via the fused
     3x3 kernel (``ops/conv.py`` — conv + bias + LeakyReLU + PixelNorm in
@@ -174,13 +177,40 @@ def _generator_forward_nchw(
     Inference-only (``pallas_call`` here defines no VJP); ``build_step``
     rejects it for training.
     """
-    from ..ops.conv import fused_conv3x3, fused_upconv3x3
+    from ..ops.conv import fused_block, fused_conv3x3, fused_upconv3x3
 
     interpret = jax.default_backend() == "cpu"
     slope = cfg.leaky_slope
     eps = cfg.pixel_norm_eps
 
     def block_nchw(p, x):
+        if use_block:
+            from ..ops.conv import fused_block_fits
+
+            cin = p["conv1"]["w"].shape[2]
+            cmid = p["conv1"]["w"].shape[3]
+            cout = p["conv2"]["w"].shape[3]
+            if fused_block_fits(cin, cmid, cout, x.dtype.itemsize):
+                # whole block in ONE kernel: neither conv1's output nor
+                # the 4x upsampled intermediate touches HBM.  Big-channel
+                # blocks (spatially tiny) exceed scoped VMEM and take the
+                # two-kernel path below instead.
+                return fused_block(
+                    x, p["conv1"]["w"], p["conv1"]["b"],
+                    p["conv2"]["w"], p["conv2"]["b"],
+                    slope=slope, eps=eps, out_dtype=compute_dtype,
+                    interpret=interpret,
+                )
+            x = fused_conv3x3(
+                x, p["conv1"]["w"], p["conv1"]["b"], slope=slope,
+                pixel_norm=True, eps=eps, out_dtype=compute_dtype,
+                interpret=interpret,
+            )
+            return fused_upconv3x3(
+                x, p["conv2"]["w"], p["conv2"]["b"], slope=slope,
+                pixel_norm=True, eps=eps, out_dtype=compute_dtype,
+                interpret=interpret,
+            )
         x = fused_conv3x3(
             x, p["conv1"]["w"], p["conv1"]["b"], slope=slope,
             pixel_norm=True, eps=eps, out_dtype=compute_dtype,

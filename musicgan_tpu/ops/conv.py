@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "fused_conv3x3", "fused_upconv3x3", "pack_weights",
+    "fused_conv3x3", "fused_upconv3x3", "fused_block", "pack_weights",
     "pack_upconv_weights",
 ]
 
@@ -219,6 +219,224 @@ def _choose_upconv_tiles(cin, cout, h, w, itemsize):
     while wc > 128 and est(wc) > 10 * 2**20:
         wc -= 128
     return hb, wc
+
+
+def _block_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                  slab, patch9, c1, patch4, sem, *,
+                  cin, cmid, cout, hb, wc, h_true, w_true, slope, eps,
+                  upcast_dot=False, interp=False):
+    """Whole generator block in one kernel: conv3x3 + LeakyReLU + PixelNorm
+    (conv1) -> conv3x3(up2x(.)) + LeakyReLU + PixelNorm (the fused
+    sub-pixel upconv).  conv1's output lives only in VMEM (computed with a
+    1-pixel halo so the upconv's phase taps stay in-tile); the block's
+    only HBM traffic is the input slab and the final 2x-resolution output.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bi, :, pl.ds(i * hb, hb + 8), pl.ds(j * wc, wc + 256)],
+        slab,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    # --- conv1 over the (hb+2)-row halo region ---------------------------
+    # Columns span the full 128-aligned slab width: Mosaic only supports
+    # the (rows, lanes) -> (rows*lanes) merge when the lane dim is a
+    # 128-multiple, so a ragged wc+2 region cannot feed the matmul.  The
+    # extra columns are wasted MACs on halo data; only [0, wc+2) is read
+    # by the upconv stage.
+    hr, wr = hb + 2, wc + 128
+    for dy in range(3):
+        for dx in range(3):
+            patch9[(dy * 3 + dx) * cin : (dy * 3 + dx + 1) * cin] = (
+                slab[:, dy : dy + hr, dx : dx + wr]
+            )
+    lhs = w1_ref[:]
+    rhs = patch9[:].reshape(9 * cin, hr * wr)
+    if upcast_dot:
+        lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+    y1 = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+    y1 = y1 + b1_ref[:]
+    y1 = jnp.where(y1 >= 0, y1, slope * y1)
+    mean_sq = jnp.mean(jnp.square(y1), axis=0, keepdims=True)
+    y1 = y1 * jax.lax.rsqrt(mean_sq + eps)
+    y1 = y1.reshape(cmid, hr, wr)
+    # The c1 halo must match the UNFUSED semantics: conv2's 'SAME' padding
+    # sees ZEROS outside the true input, not conv1-of-zero-padding values.
+    # Mask halo positions that fall outside [0, h) x [0, w) globally.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cmid, hr, wr), 1) \
+        + i * hb - 1
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cmid, hr, wr), 2) \
+        + j * wc - 1
+    valid = ((rows >= 0) & (rows < h_true) & (cols >= 0) & (cols < w_true))
+    c1[...] = jnp.where(valid, y1, 0.0).astype(c1.dtype)
+
+    # --- fused up2x + conv3x3 from the VMEM-resident c1 ------------------
+    ys = []
+    for a in range(2):
+        for b in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    patch4[(dy * 2 + dx) * cmid : (dy * 2 + dx + 1) * cmid] = (
+                        c1[:, a + dy : a + dy + hb, b + dx : b + dx + wc]
+                    )
+            lhs = w2_ref[a * 2 + b]
+            rhs = patch4[:].reshape(4 * cmid, hb * wc)
+            if upcast_dot:
+                lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+            y = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+            y = y + b2_ref[:]
+            y = jnp.where(y >= 0, y, slope * y)
+            mean_sq = jnp.mean(jnp.square(y), axis=0, keepdims=True)
+            y = y * jax.lax.rsqrt(mean_sq + eps)
+            ys.append(y.reshape(cout, hb, wc))
+
+    if o_ref.dtype == jnp.bfloat16 and not interp:
+        def pack_pairs(lo, hi):
+            lo16 = pltpu.bitcast(lo, jnp.uint16).astype(jnp.uint32)
+            hi16 = pltpu.bitcast(hi, jnp.uint16).astype(jnp.uint32)
+            return lo16 | (hi16 << 16)
+
+        def w_interleave(y_b0, y_b1):
+            a0 = jnp.swapaxes(y_b0.astype(jnp.bfloat16), -1, -2)
+            a1 = jnp.swapaxes(y_b1.astype(jnp.bfloat16), -1, -2)
+            inter = pltpu.bitcast(pack_pairs(a0, a1), jnp.bfloat16)
+            return jnp.swapaxes(inter, -1, -2)
+
+        row0 = w_interleave(ys[0], ys[1])
+        row1 = w_interleave(ys[2], ys[3])
+        o_ref[0] = pltpu.bitcast(pack_pairs(row0, row1), jnp.bfloat16)
+    else:
+        row0 = jnp.stack([ys[0], ys[1]], axis=-1)
+        row1 = jnp.stack([ys[2], ys[3]], axis=-1)
+        t = jnp.stack([row0, row1], axis=2)
+        o_ref[0] = t.reshape(cout, 2 * hb, 2 * wc).astype(o_ref.dtype)
+
+
+def _choose_block_tiles(cin, cmid, cout, h, w, itemsize):
+    """(hb, wc) for the whole-block kernel: patch9 + slab + c1 + patch4 +
+    four f32 phase outputs + double-size output tile + interleave temps."""
+    wc = min(512, -(-w // 128) * 128)
+    hb = 8
+    padded_hb = max(hb, 32 // itemsize)
+
+    def est(wc):
+        hr = padded_hb + 2
+        return (
+            (9 * cin * hr * (wc + 128)          # patch9 (aligned width)
+             + cin * (padded_hb + 8) * (wc + 256)  # slab
+             + cmid * hr * (wc + 128)           # c1
+             + 4 * cmid * padded_hb * wc) * itemsize
+            + (cmid + cout) * hr * (wc + 128) * 4  # y1 + ys f32 staging
+            + 4 * cout * padded_hb * wc * 4     # ys f32
+            + cout * 2 * padded_hb * 2 * wc * itemsize * 3
+        )
+
+    while wc > 128 and est(wc) > 10 * 2**20:
+        wc -= 128
+    return hb, wc
+
+
+def fused_block_fits(cin, cmid, cout, itemsize) -> bool:
+    """Whether the whole-block kernel's scratch fits scoped VMEM at the
+    minimum tile.  Big-channel layers (the spatially tiny early blocks)
+    exceed it — callers fall back to the conv + upconv pair there."""
+    padded_hb = max(8, 32 // itemsize)
+    hr = padded_hb + 2
+    wc = 128
+    est = (
+        (9 * cin * hr * (wc + 128)
+         + cin * (padded_hb + 8) * (wc + 256)
+         + cmid * hr * (wc + 128)
+         + 4 * cmid * padded_hb * wc) * itemsize
+        + (cmid + cout) * hr * (wc + 128) * 4
+        + 4 * cout * padded_hb * wc * 4
+        + cout * 2 * padded_hb * 2 * wc * itemsize * 3
+    )
+    return est <= 10 * 2**20
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slope", "eps", "out_dtype", "interpret")
+)
+def fused_block(
+    x: jnp.ndarray,
+    w1_hwio: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2_hwio: jnp.ndarray,
+    b2: jnp.ndarray,
+    slope: float = 0.2,
+    eps: float = 1e-8,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One whole ProGAN generator block in a single Pallas call:
+    ``pn(lrelu(conv3x3))`` then ``pn(lrelu(conv3x3(up2x(.))))`` on NCHW
+    ``(B, cin, H, W)`` -> ``(B, cout, 2H, 2W)``.  Neither the conv1
+    output nor the 4x upsampled intermediate ever touches HBM."""
+    bsz, cin, h, w = x.shape
+    cmid = w1_hwio.shape[3]
+    cout = w2_hwio.shape[3]
+    assert w1_hwio.shape[:3] == (3, 3, cin)
+    assert w2_hwio.shape[:3] == (3, 3, cmid)
+
+    hb, wc = _choose_block_tiles(cin, cmid, cout, h, w, x.dtype.itemsize)
+    n_h = -(-h // hb)
+    n_w = -(-w // wc)
+    h_pad, w_pad = n_h * hb, n_w * wc
+
+    # Halo 2: conv1's 1-pixel halo on top of the upconv's 1-pixel reach.
+    # Column padding covers the aligned conv1 width (wc + 256 slab).
+    xp = jnp.pad(
+        x, ((0, 0), (0, 0), (2, h_pad + 6 - h), (2, w_pad + 254 - w))
+    )
+    w1_packed = pack_weights(w1_hwio).astype(x.dtype)       # (cmid, 9cin)
+    w2_packed = pack_upconv_weights(w2_hwio).astype(x.dtype)
+    b1_col = b1.reshape(cmid, 1).astype(jnp.float32)
+    b2_col = b2.reshape(cout, 1).astype(jnp.float32)
+
+    kern = functools.partial(
+        _block_kernel,
+        cin=cin, cmid=cmid, cout=cout, hb=hb, wc=wc,
+        h_true=h, w_true=w, slope=slope, eps=eps,
+        upcast_dot=interpret and x.dtype != jnp.float32,
+        interp=interpret,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, n_h, n_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((cmid, 9 * cin), lambda bi, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid, 1), lambda bi, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cout, 4 * cmid), lambda bi, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda bi, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, 2 * hb, 2 * wc), lambda bi, i, j: (bi, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, cout, 2 * h_pad, 2 * w_pad), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cin, hb + 8, wc + 256), x.dtype),
+            pltpu.VMEM((9 * cin, hb + 2, wc + 128), x.dtype),
+            pltpu.VMEM((cmid, hb + 2, wc + 128), x.dtype),
+            pltpu.VMEM((4 * cmid, hb, wc), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, w1_packed, b1_col, w2_packed, b2_col)
+    return out[:, :, : 2 * h, : 2 * w]
 
 
 @functools.partial(

@@ -134,6 +134,24 @@ def test_generator_pallas_bf16_close_to_f32(rng):
     )
 
 
+@pytest.mark.parametrize("b,cin,cmid,cout,h,w",
+                         [(1, 16, 24, 32, 8, 256), (2, 8, 8, 8, 4, 128)])
+def test_fused_block_parity(rng, b, cin, cmid, cout, h, w):
+    """The whole-block kernel == conv1+pn then up2x+conv2+pn composed."""
+    from musicgan_tpu.ops.conv import fused_block
+
+    x = jnp.asarray(rng.standard_normal((b, cin, h, w)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, cin, cmid)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(cmid) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, cmid, cout)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(cout) * 0.1, jnp.float32)
+    got = fused_block(x, w1, b1, w2, b2, slope=0.2, interpret=True)
+    mid = _ref_conv(x, w1, b1, slope=0.2, pixel_norm=True)
+    ref = _ref_conv(_up2x_nchw(mid), w2, b2, slope=0.2, pixel_norm=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_generator_pallas_up_close_to_f32(rng):
     """The fused up+conv generator stack (both dtypes) matches the XLA
     path within the respective rounding budget."""
@@ -145,7 +163,8 @@ def test_generator_pallas_up_close_to_f32(rng):
     params = init_generator(jax.random.PRNGKey(0), TINY_MODEL)
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 8))
     f32 = generator_forward(params, z, 3, 1.0, TINY_MODEL)
-    for impl, atol in (("pallas_up", 1e-4), ("pallas_up_bf16", 0.08)):
+    for impl, atol in (("pallas_up", 1e-4), ("pallas_up_bf16", 0.08),
+                       ("pallas_block", 1e-4), ("pallas_block_bf16", 0.08)):
         cfg = dataclasses.replace(TINY_MODEL, conv_impl=impl)
         out = generator_forward(params, z, 3, 1.0, cfg)
         np.testing.assert_allclose(
