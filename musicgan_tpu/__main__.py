@@ -41,7 +41,9 @@ def main() -> None:
     p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute-dtype", type=str, default=None,
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "bfloat16_f32gp"],
+                   help="bfloat16_f32gp = bf16 forwards with the gradient-"
+                        "penalty branch pinned f32 (VALIDATION.md r3)")
     p.add_argument("--device-dataset", type=str, default=None,
                    choices=["auto", "on", "off"],
                    help="corpus resident in HBM, indices per dispatch "
@@ -50,6 +52,11 @@ def main() -> None:
                    help="ProGAN eps-drift penalty on E[D(real)^2] "
                         "(0 = reference-faithful; ~1e-3 stabilizes the "
                         "critic scale on small corpora)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="generator weight EMA for eval/preview/export "
+                        "(0 = reference-faithful; ~0.999 makes the final "
+                        "checkpoint the run's best — ProGAN/GANSynth "
+                        "convention)")
     p.add_argument("--chunk-steps", type=int, default=None,
                    help="iterations per device dispatch (lax.scan)")
     p.add_argument("--profile", type=str, default=None, metavar="TRACE_DIR",
@@ -152,6 +159,7 @@ def main() -> None:
             compute_dtype=args.compute_dtype,
             chunk_steps=args.chunk_steps,
             drift_eps=args.drift_eps,
+            ema_decay=args.ema_decay,
             device_dataset=args.device_dataset,
         )
         ctx = trace(args.profile) if args.profile else contextlib.nullcontext()

@@ -20,6 +20,7 @@ import glob
 import json
 import multiprocessing as mp
 import os
+import threading
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -300,6 +301,13 @@ def create_dataset(
     (the TPU-native replacement for reference ``create_dataset.py:13-64``).
 
     Returns the written index dict.
+
+    Start-method note: a single-threaded caller gets cheap ``fork``
+    workers.  Once any extra OS thread exists (e.g. JAX initialized —
+    forking then risks deadlock), workers use ``forkserver``/``spawn``,
+    which re-import the ``__main__`` module: like any multiprocessing
+    user, a calling *script* must then be import-safe (wrap its body in
+    ``if __name__ == "__main__":``).  Library callers are unaffected.
     """
     if isinstance(audio_path, str):
         files = sorted(glob.glob(audio_path))
@@ -311,7 +319,31 @@ def create_dataset(
     writer = ShardWriter(dataset_output_dir, samples_per_shard)
     iterator: Iterable
     if num_workers > 1 and len(files) > 1:
-        ctx = mp.get_context("fork" if hasattr(os, "fork") else "spawn")
+        # fork is cheapest, but forking a multi-threaded process can
+        # deadlock the child (CPython's own warning) — and library callers
+        # routinely run create_dataset AFTER JAX spun up its runtime
+        # threads (e.g. streaming ingest beside training).  Those are OS
+        # threads invisible to ``threading.active_count()``, so count
+        # /proc/self/task when available.  Use forkserver (fallback spawn)
+        # whenever any extra thread is alive.
+        try:
+            n_threads = len(os.listdir("/proc/self/task"))
+        except OSError:
+            n_threads = threading.active_count()
+        if hasattr(os, "fork") and n_threads == 1:
+            method = "fork"
+        elif "forkserver" in mp.get_all_start_methods():
+            method = "forkserver"
+        else:
+            method = "spawn"
+        ctx = mp.get_context(method)
+        if method == "forkserver":
+            # CPython's forkserver preloads ['__main__'] by default, which
+            # re-executes unguarded caller scripts.  Workers only need this
+            # module (the pool pickles _worker by reference), so preload it
+            # instead — create_dataset then works from any script, guarded
+            # or not.
+            ctx.set_forkserver_preload(["musicgan_tpu.audio.ingest"])
         pool = ctx.Pool(num_workers)
         iterator = pool.imap(_worker, files)
     else:

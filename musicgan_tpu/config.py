@@ -82,6 +82,14 @@ class TrainConfig:
     # anchors the critic output scale without touching the Wasserstein
     # objective's gradients w.r.t. score DIFFERENCES.
     drift_eps: float = 0.0
+    # Generator weight EMA for eval/preview/generate (ProGAN §A.1 and
+    # GANSynth both ship it; 0.0 = reference-faithful off).  ~0.999
+    # averages the generator over its last ~1k updates, smoothing the
+    # late-run critic-drift oscillation so the FINAL checkpoint's audio is
+    # the run's best (VALIDATION.md r3).  Training gradients always flow
+    # through the raw weights; the EMA copy is carried in TrainState and
+    # used only at evaluation.
+    ema_decay: float = 0.0
     # Progressive-growth schedule, in cumulative samples viewed.
     fadein_lengths: Tuple[int, ...] = (
         1, 25_000, 37_500, 50_000, 62_500, 75_000, 87_500, 100_000,
@@ -100,6 +108,9 @@ class TrainConfig:
     # (VALIDATION.md r2) shows bf16 tracking f32 through 32x32 but the
     # WGAN gradient penalty destabilizing at 64x64 (GP regularizes an
     # INPUT gradient — the quantity bf16 operand rounding perturbs most).
+    # "bfloat16_f32gp" (r3) targets exactly that failure: bf16 operands in
+    # every forward EXCEPT the GP branch, which stays f32 (VALIDATION.md
+    # r3 for the multi-seed comparison).
     # Inference uses ModelConfig.conv_impl="pallas_bf16" instead.
     data_axis: str = "data"          # mesh axis name for data parallelism
     max_stage: Optional[int] = None  # cap growth (e.g. 3 for 32x32 runs)

@@ -92,7 +92,9 @@ def load_generator_params(
     mgr = CheckpointManager(root)
     template = init_train_state(jax.random.PRNGKey(0), model_cfg)
     state, _ = mgr.restore(save_idx, template)
-    return state.gen_params
+    # EMA-carrying runs (TrainConfig.ema_decay > 0) ship the averaged
+    # weights — ProGAN/GANSynth eval convention (VALIDATION.md r3).
+    return state.gen_ema if state.gen_ema is not None else state.gen_params
 
 
 def generate(

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from .layers import avg_pool_2x, conv2d, leaky_relu, linear
+from .layers import avg_pool_2x, avg_pool_2x_nchw, conv2d, leaky_relu, linear
 
 _DEFAULT = ModelConfig()
 
@@ -83,6 +83,8 @@ def discriminator_forward(
 ) -> jnp.ndarray:
     """``x``: (B, H, W, 2) NHWC at the stage's resolution -> (B, 1) critic
     score.  ``stage`` is static; 7 = 4x4 input, 0 = 512x512 input."""
+    if cfg.conv_impl == "pallas_train":
+        return _discriminator_forward_nchw_train(params, x, stage, alpha, cfg)
     n = len(cfg.disc_channels)
 
     out_new = _head_apply(params["heads"][stage], x, cfg, compute_dtype)
@@ -102,6 +104,48 @@ def discriminator_forward(
 
     out = out.reshape(out.shape[0], -1)
     return linear(out, params["clf"], compute_dtype)
+
+
+def _discriminator_forward_nchw_train(
+    params: dict, x: jnp.ndarray, stage: int, alpha, cfg: ModelConfig
+) -> jnp.ndarray:
+    """Trainable Pallas path (impl ``"pallas_train"``, float32): conv3x3 +
+    LeakyReLU on the fused NCHW kernel via :func:`ops.conv_vjp.conv3x3_act`
+    (differentiable ONCE — the WGAN-GP grad-of-grad branch keeps the XLA
+    lowering, see train/step.py).  Same math as the NHWC path above."""
+    from ..ops.conv_vjp import conv3x3_act
+
+    n = len(cfg.disc_channels)
+    slope = cfg.leaky_slope
+
+    def head(p, t):
+        w = p["w"][0, 0]  # (2, C)
+        y = jnp.einsum("bchw,ck->bkhw", t, w) + p["b"][None, :, None, None]
+        return leaky_relu(y, slope)
+
+    def block(p, t):
+        t = conv3x3_act(t, p["conv1"]["w"], p["conv1"]["b"], slope, False,
+                        0.0)
+        t = avg_pool_2x_nchw(t)
+        return conv3x3_act(t, p["conv2"]["w"], p["conv2"]["b"], slope, False,
+                           0.0)
+
+    xn = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
+    out_new = head(params["heads"][stage], xn)
+    out_new = block(params["blocks"][stage], out_new)
+
+    if stage < n - 2:
+        out_old = head(params["heads"][stage + 1], avg_pool_2x_nchw(xn))
+        out = alpha * out_new + (1.0 - alpha) * out_old
+    else:
+        out = out_new
+
+    for i in range(stage + 1, n):
+        out = block(params["blocks"][i], out)
+
+    out = out.reshape(out.shape[0], -1)  # final spatial is 1x1: same
+    # flatten result as the NHWC path.
+    return linear(out, params["clf"], jnp.float32)
 
 
 def discriminator_param_count(

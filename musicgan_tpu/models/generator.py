@@ -122,6 +122,10 @@ def generator_forward(
     :func:`musicgan_tpu.ops.autotune.resolve_conv_impl`.
     """
     impl = cfg.conv_impl
+    if impl == "pallas_train":
+        # Differentiable Pallas path (ops/conv_vjp.py): fused kernel
+        # forward + custom VJP whose input-grad conv is also the kernel.
+        return _generator_forward_nchw_train(params, z, stage, alpha, cfg)
     if impl in ("pallas", "pallas_up", "pallas_block", "pallas_bf16",
                 "pallas_up_bf16", "pallas_block_bf16"):
         return _generator_forward_nchw(
@@ -229,23 +233,59 @@ def _generator_forward_nchw(
             interpret=interpret,
         )
 
-    def head_nchw(p, x):
-        # 1x1 conv as a channel matmul: (B, C, H, W) -> (B, 2, H, W).
-        w = p["w"][0, 0]  # (C, 2)
-        y = jnp.einsum(
-            "bchw,ck->bkhw", x.astype(jnp.float32), w
-        ) + p["b"][None, :, None, None]
-        return jnp.tanh(y)
-
     out = jnp.transpose(z, (0, 3, 1, 2)).astype(compute_dtype)
     for i in range(stage):
         out = block_nchw(params["blocks"][i], out)
 
     out_block = block_nchw(params["blocks"][stage], out)
-    out_mp = head_nchw(params["heads"][stage], out_block)
+    out_mp = _head_nchw(params["heads"][stage], out_block)
 
     if stage > 0:
-        old = head_nchw(params["heads"][stage - 1], out)
+        old = _head_nchw(params["heads"][stage - 1], out)
+        old = upsample_nearest_2x_nchw(old)
+        out_mp = alpha * out_mp + (1.0 - alpha) * old
+    return jnp.transpose(out_mp, (0, 2, 3, 1))
+
+
+def _head_nchw(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """ToMagnPhase head in NCHW: 1x1 conv as a channel matmul + tanh."""
+    w = p["w"][0, 0]  # (C, 2)
+    y = jnp.einsum(
+        "bchw,ck->bkhw", x.astype(jnp.float32), w
+    ) + p["b"][None, :, None, None]
+    return jnp.tanh(y)
+
+
+def _generator_forward_nchw_train(
+    params: dict, z: jnp.ndarray, stage: int, alpha, cfg: ModelConfig
+) -> jnp.ndarray:
+    """Trainable Pallas path (impl ``"pallas_train"``, float32): the conv
+    stack runs the fused NCHW kernel through :func:`ops.conv_vjp.
+    conv3x3_act` — differentiable ONCE (first-order contexts only; the
+    WGAN-GP grad-of-grad branch keeps the XLA lowering, train/step.py).
+    The up2x between a block's convs is XLA (its transpose is a 2x2
+    sum-pool, which XLA fuses)."""
+    from ..ops.conv_vjp import conv3x3_act
+
+    slope = cfg.leaky_slope
+    eps = cfg.pixel_norm_eps
+
+    def block(p, t):
+        t = conv3x3_act(t, p["conv1"]["w"], p["conv1"]["b"], slope, True, eps)
+        t = upsample_nearest_2x_nchw(t)
+        return conv3x3_act(
+            t, p["conv2"]["w"], p["conv2"]["b"], slope, True, eps
+        )
+
+    out = jnp.transpose(z, (0, 3, 1, 2)).astype(jnp.float32)
+    for i in range(stage):
+        out = block(params["blocks"][i], out)
+
+    out_block = block(params["blocks"][stage], out)
+    out_mp = _head_nchw(params["heads"][stage], out_block)
+
+    if stage > 0:
+        old = _head_nchw(params["heads"][stage - 1], out)
         old = upsample_nearest_2x_nchw(old)
         out_mp = alpha * out_mp + (1.0 - alpha) * old
     return jnp.transpose(out_mp, (0, 2, 3, 1))

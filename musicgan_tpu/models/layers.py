@@ -26,6 +26,7 @@ __all__ = [
     "upsample_nearest_2x",
     "upsample_nearest_2x_nchw",
     "avg_pool_2x",
+    "avg_pool_2x_nchw",
     "conv3x3_on_nearest_up2x",
 ]
 
@@ -162,6 +163,12 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 average pool, NHWC (reference ``discriminator.py:24``)."""
     b, h, w, c = x.shape
     return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def avg_pool_2x_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 average pool, NCHW (the Pallas fast path's layout)."""
+    b, c, h, w = x.shape
+    return x.reshape(b, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
 
 
 def conv3x3_on_nearest_up2x(

@@ -48,7 +48,12 @@ def build(force: bool = False) -> str:
         and os.path.getmtime(so) >= os.path.getmtime(_SRC)
     ):
         return so
-    tmp = so + ".tmp"
+    # Per-process tmp name: create_dataset forks N workers that may all
+    # build on a fresh host concurrently.  Each compiles to its own file
+    # and promotes with an atomic os.replace — last writer wins, every
+    # candidate is a complete .so (a SHARED tmp path let concurrent g++
+    # runs truncate each other mid-write and promote garbage).
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-fno-math-errno", "-shared",
         "-fPIC", "-o", tmp, _SRC,
@@ -57,11 +62,16 @@ def build(force: bool = False) -> str:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=300
         )
+        if proc.returncode != 0:
+            raise RuntimeError(f"native build failed:\n{proc.stderr}")
+        os.replace(tmp, so)
     except (OSError, subprocess.TimeoutExpired) as e:
         raise RuntimeError(f"native build failed to launch: {e!r}") from e
-    if proc.returncode != 0:
-        raise RuntimeError(f"native build failed:\n{proc.stderr}")
-    os.replace(tmp, so)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     return so
 
 
@@ -75,8 +85,17 @@ def _load() -> ctypes.CDLL | None:
         try:
             lib = ctypes.CDLL(build())
         except (RuntimeError, OSError):
-            _FAILED = True
-            return None
+            # A stale/corrupt .so would otherwise pass the mtime check
+            # forever; drop it so the next process attempts a clean build.
+            try:
+                os.unlink(lib_path())
+            except OSError:
+                pass
+            try:
+                lib = ctypes.CDLL(build(force=True))
+            except (RuntimeError, OSError):
+                _FAILED = True
+                return None
         fn = lib.mg_magn_phase_pack
         fn.restype = ctypes.c_int
         fn.argtypes = [

@@ -14,8 +14,11 @@
 //   per frame t (row of z, contiguous):
 //     stage A (f32, vector): magnitude sqrt(re^2+im^2)*bark and phase
 //         atan2(im,re) over all bins.  atan2 is a branchless degree-11
-//         minimax polynomial (max err ~2e-7 rad — the parity budget vs
-//         the numpy mirror is ~6e-6 rad), exact at the IEEE axes
+//         minimax polynomial (measured max err ~1.7e-6 rad — so a phase
+//         DIFFERENCE of two approximated angles can err ~3.4e-6 rad,
+//         inside but only ~2x under the ~6e-6 rad parity budget vs the
+//         numpy mirror; don't tighten tolerances against this bound
+//         without re-measuring), exact at the IEEE axes
 //         (atan2(+-0,-0)=+-pi, atan2(0,+0)=0), which the sign-flip wrap
 //         edge depends on.
 //     stage B (f64, vector, branchless): wrapped first difference of the

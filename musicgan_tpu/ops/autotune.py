@@ -30,7 +30,9 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 
-__all__ = ["resolve_conv_impl", "measure_conv_impls"]
+__all__ = [
+    "resolve_conv_impl", "measure_conv_impls", "measure_train_impls",
+]
 
 _CACHE: dict = {}
 _K = 4          # forwards per timed dispatch
@@ -40,20 +42,30 @@ _CACHE_VERSION = 5  # bump when any impl's kernel changes: invalidates
 # disqualified it, freezing 'xla' on disk; v2: bf16 sublane-padding OOM
 # disqualified pallas_bf16 at wide shapes)
 
-# Differentiable impls (trainable); the Pallas paths define no VJP.
+# Differentiable impls (trainable).  "pallas_train" is the fused Pallas
+# kernel with a custom VJP (ops/conv_vjp.py) — differentiable ONCE, which
+# covers every first-order context of the WGAN-GP step; the grad-of-grad
+# GP branch is routed to "xla" inside the step (train/step.py).
 # "pallas_bf16" streams activations between layers in bf16 (f32 MXU
 # accumulation + f32 epilogue) — NOT a precision regression for inference:
 # XLA's default matmul precision on TPU already rounds f32 conv/matmul
 # operands to bf16, so the default "xla" path sees the same operand
 # rounding; bf16 I/O just also halves the HBM traffic (tested: the full
 # generator stack agrees with the f32 kernel to bf16 rounding).
-TRAINING_IMPLS = ("xla", "subpixel")
+TRAINING_IMPLS = ("xla", "subpixel", "pallas_train")
+# Impls whose graphs JAX can differentiate twice (the GP requirement).
+SECOND_ORDER_IMPLS = ("xla", "subpixel")
 # "pallas_up*" additionally fuse each up2x+conv3x3 pair so the 4x
 # intermediate never leaves VMEM (ops/conv.py::fused_upconv3x3).
 ALL_IMPLS = (
     "xla", "subpixel", "pallas", "pallas_bf16", "pallas_up",
     "pallas_up_bf16",
 )
+# On real TPUs Mosaic rejects the f32 phase-interleave (stack/reshape) in
+# fused_upconv3x3, so "pallas_up" can never win there — measuring it only
+# burns a doomed compile and prints a failure warning every cold autotune.
+# It stays in ALL_IMPLS for interpret-mode (CPU) parity tests.
+TPU_INFERENCE_IMPLS = tuple(i for i in ALL_IMPLS if i != "pallas_up")
 
 
 def _persist_path() -> str | None:
@@ -142,15 +154,114 @@ def measure_conv_impls(
     return times
 
 
+def measure_train_impls(
+    model_cfg: ModelConfig,
+    train_cfg,
+    stage: int,
+    candidates=TRAINING_IMPLS,
+) -> dict[str, float]:
+    """Wall-time per train ITERATION for each candidate, measured on a real
+    K-iteration chunked train-step graph — D forwards + gradient penalty +
+    backward + Adam, with one generator update per chunk (the n_critic
+    pattern).  This replaces the round-2 proxy of timing the inference
+    generator forward, which never runs a backward pass and can rank
+    "xla" vs "subpixel" vs "pallas_train" differently than the graph
+    training actually executes."""
+    from ..train.step import build_chunk_step, init_train_state
+
+    k = 5  # one full n_critic cycle per dispatch
+    size = 4 * 2**stage
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(tiny(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(tiny(jnp.float32(0)))
+    rtt = (time.perf_counter() - t0) / 3
+
+    init_cfg = dataclasses.replace(model_cfg, conv_impl="xla")
+    x = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (k, train_cfg.batch_size, 2, size, size),
+        jnp.float32,
+    )
+    alphas = jnp.ones((k,), jnp.float32)
+    mask = jnp.asarray([True] + [False] * (k - 1))
+
+    times: dict[str, float] = {}
+    for impl in candidates:
+        mcfg = dataclasses.replace(model_cfg, conv_impl=impl)
+        try:
+            step = build_chunk_step(
+                stage, k, mcfg, train_cfg, pre_scaled=True
+            )
+            # Fresh state per impl: the step donates its state argument.
+            state = init_train_state(
+                jax.random.PRNGKey(0), init_cfg, train_cfg
+            )
+            state, m = step(state, x, alphas, mask)  # compile + warmup
+            np.asarray(m["disc_loss"])
+            best = float("inf")
+            for _ in range(_REPS):
+                t0 = time.perf_counter()
+                state, m = step(state, x, alphas, mask)
+                np.asarray(m["disc_loss"])
+                best = min(best, (time.perf_counter() - t0 - rtt) / k)
+            times[impl] = max(best, 0.0)
+        except Exception as e:  # noqa: BLE001 — a failing impl just loses
+            print(
+                f"[autotune] train impl {impl} failed "
+                f"({type(e).__name__}); skipped"
+            )
+            times[impl] = float("inf")
+    return times
+
+
+def _candidates_and_key(
+    backend: str, z_shape: tuple, stage: int, for_training: bool, train_cfg
+) -> tuple[tuple, str]:
+    """Candidate impls and the persisted-cache key for one resolution.
+    Training keys carry a ``train`` marker plus batch/compute-dtype, so a
+    training winner can never alias an inference winner (they are measured
+    on different graphs and rank differently)."""
+    if for_training:
+        candidates = TRAINING_IMPLS
+        if train_cfg is not None and train_cfg.compute_dtype != "float32":
+            # pallas_train is an f32 kernel path; mixed-precision training
+            # keeps the XLA-lowered candidates.
+            candidates = tuple(
+                i for i in candidates if i in SECOND_ORDER_IMPLS
+            )
+        batch = train_cfg.batch_size if train_cfg is not None else z_shape[0]
+        cdt = train_cfg.compute_dtype if train_cfg is not None else "float32"
+        key = (
+            f"v{_CACHE_VERSION}|{backend}|train|s{stage}|"
+            f"{'x'.join(map(str, z_shape))}|b{batch}|{cdt}|{candidates}"
+        )
+    else:
+        candidates = TPU_INFERENCE_IMPLS
+        key = (
+            f"v{_CACHE_VERSION}|{backend}|s{stage}|"
+            f"{'x'.join(map(str, z_shape))}|float32|{candidates}"
+        )
+    return candidates, key
+
+
 def resolve_conv_impl(
     cfg: ModelConfig,
     z_shape: tuple,
     stage: int,
     for_training: bool = False,
+    train_cfg=None,
 ) -> ModelConfig:
     """Return ``cfg`` with ``conv_impl="auto"`` replaced by the measured
     winner for (backend, stage, z_shape).  Non-auto configs pass through,
-    except that training rejects the non-differentiable Pallas impl."""
+    except that training rejects the VJP-less inference-only Pallas impls.
+
+    With ``for_training`` and a ``train_cfg``, candidates are timed on a
+    real chunked train-step graph (:func:`measure_train_impls`); the
+    persisted key carries a ``train`` marker plus batch/dtype, so training
+    and inference winners never alias."""
     if cfg.conv_impl != "auto":
         if for_training and cfg.conv_impl not in TRAINING_IMPLS:
             raise ValueError(
@@ -165,20 +276,23 @@ def resolve_conv_impl(
         # target; don't burn startup time measuring it.
         return dataclasses.replace(cfg, conv_impl="xla")
 
-    candidates = TRAINING_IMPLS if for_training else ALL_IMPLS
-    key = (
-        f"v{_CACHE_VERSION}|{backend}|s{stage}|"
-        f"{'x'.join(map(str, z_shape))}|{candidates}"
+    candidates, key = _candidates_and_key(
+        backend, z_shape, stage, for_training, train_cfg
     )
     if key not in _CACHE:
         persisted = _load_persisted()
         if key in persisted:
             _CACHE[key] = persisted[key]
         else:
-            times = measure_conv_impls(cfg, z_shape, stage, candidates)
+            if for_training and train_cfg is not None:
+                times = measure_train_impls(cfg, train_cfg, stage, candidates)
+                label = "train conv_impl"
+            else:
+                times = measure_conv_impls(cfg, z_shape, stage, candidates)
+                label = "conv_impl"
             winner = min(times, key=times.get)
             print(
-                "[autotune] conv_impl -> "
+                f"[autotune] {label} -> "
                 + winner
                 + "  ("
                 + ", ".join(f"{k}={v * 1e3:.2f}ms" for k, v in times.items())

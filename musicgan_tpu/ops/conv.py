@@ -29,8 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "fused_conv3x3", "fused_upconv3x3", "fused_block", "pack_weights",
-    "pack_upconv_weights",
+    "fused_conv3x3", "fused_conv3x3_msq", "fused_upconv3x3", "fused_block",
+    "pack_weights", "pack_upconv_weights",
 ]
 
 
@@ -87,8 +87,16 @@ def _choose_tiles(cin: int, h: int, w: int, itemsize: int) -> tuple[int, int]:
     return hb, wc
 
 
-def _kernel(x_hbm, w_ref, b_ref, o_ref, slab, patch, sem, *,
-            cin, cout, hb, wc, slope, pixel_norm, eps, upcast_dot=False):
+def _kernel(x_hbm, w_ref, b_ref, o_ref, *rest,
+            cin, cout, hb, wc, slope, pixel_norm, eps, upcast_dot=False,
+            emit_msq=False):
+    # ``emit_msq`` (training path): also write the pre-PixelNorm
+    # ``mean(u^2)`` map — the one intermediate the custom VJP cannot
+    # recover from the output (ops/conv_vjp.py).
+    if emit_msq:
+        m_ref, slab, patch, sem = rest
+    else:
+        slab, patch, sem = rest
     bi = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -122,6 +130,8 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, slab, patch, sem, *,
         y = jnp.where(y >= 0, y, slope * y)
     if pixel_norm:
         mean_sq = jnp.mean(jnp.square(y), axis=0, keepdims=True)
+        if emit_msq:
+            m_ref[0] = mean_sq.reshape(1, hb, wc)
         y = y * jax.lax.rsqrt(mean_sq + eps)
     o_ref[0] = y.reshape(cout, hb, wc).astype(o_ref.dtype)
 
@@ -511,22 +521,12 @@ def fused_upconv3x3(
     return out[:, :, : 2 * h, : 2 * w]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("slope", "pixel_norm", "eps", "out_dtype", "interpret"),
-)
-def fused_conv3x3(
-    x: jnp.ndarray,
-    w_hwio: jnp.ndarray,
-    b: jnp.ndarray,
-    slope: float | None = None,
-    pixel_norm: bool = False,
-    eps: float = 1e-8,
-    out_dtype=jnp.float32,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """3x3 'SAME' conv on NCHW ``(B, cin, H, W)`` -> ``(B, cout, H, W)``
-    with fused bias / LeakyReLU / PixelNorm epilogue."""
+def _conv3x3_call(
+    x, w_hwio, b, slope, pixel_norm, eps, out_dtype, interpret, emit_msq
+):
+    """Shared pallas_call construction for the fused 3x3 conv; with
+    ``emit_msq`` also returns the pre-PixelNorm ``mean(u^2)`` map
+    ``(B, 1, H, W)`` (the custom-VJP residual)."""
     bsz, cin, h, w = x.shape
     cout = w_hwio.shape[3]
     assert w_hwio.shape[:3] == (3, 3, cin)
@@ -553,7 +553,22 @@ def fused_conv3x3(
         cin=cin, cout=cout, hb=hb, wc=wc,
         slope=slope, pixel_norm=pixel_norm, eps=eps,
         upcast_dot=interpret and x.dtype != jnp.float32,
+        emit_msq=emit_msq,
     )
+    out_specs = pl.BlockSpec(
+        (1, cout, hb, wc), lambda bi, i, j: (bi, 0, i, j),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((bsz, cout, h_pad, w_pad), out_dtype)
+    if emit_msq:
+        assert pixel_norm
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, 1, hb, wc), lambda bi, i, j: (bi, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (bsz, 1, h_pad, w_pad), jnp.float32
+        ))
     out = pl.pallas_call(
         kern,
         grid=(bsz, n_h, n_w),
@@ -567,11 +582,8 @@ def fused_conv3x3(
                 (cout, 1), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, cout, hb, wc), lambda bi, i, j: (bi, 0, i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, cout, h_pad, w_pad), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((cin, hb + 8, wc + 128), x.dtype),
             pltpu.VMEM((9 * cin, hb, wc), x.dtype),
@@ -579,4 +591,51 @@ def fused_conv3x3(
         ],
         interpret=interpret,
     )(xp, w_packed, b_col)
+    if emit_msq:
+        y, m = out
+        return y[:, :, :h, :w], m[:, :, :h, :w]
     return out[:, :, :h, :w]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slope", "pixel_norm", "eps", "out_dtype", "interpret"),
+)
+def fused_conv3x3(
+    x: jnp.ndarray,
+    w_hwio: jnp.ndarray,
+    b: jnp.ndarray,
+    slope: float | None = None,
+    pixel_norm: bool = False,
+    eps: float = 1e-8,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """3x3 'SAME' conv on NCHW ``(B, cin, H, W)`` -> ``(B, cout, H, W)``
+    with fused bias / LeakyReLU / PixelNorm epilogue."""
+    return _conv3x3_call(
+        x, w_hwio, b, slope, pixel_norm, eps, out_dtype, interpret,
+        emit_msq=False,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slope", "eps", "interpret")
+)
+def fused_conv3x3_msq(
+    x: jnp.ndarray,
+    w_hwio: jnp.ndarray,
+    b: jnp.ndarray,
+    slope: float | None = None,
+    eps: float = 1e-8,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Training-forward variant of :func:`fused_conv3x3` with PixelNorm:
+    returns ``(y, mean_sq)`` where ``mean_sq`` is the pre-norm
+    ``mean_c(u^2)`` map ``(B, 1, H, W)`` — the only intermediate the
+    backward pass (ops/conv_vjp.py) cannot reconstruct from ``y`` (f32
+    cancellation: ``mean(y^2) = m/(m+eps)`` rounds to 1.0 for m >> eps)."""
+    return _conv3x3_call(
+        x, w_hwio, b, slope, True, eps, jnp.float32, interpret,
+        emit_msq=True,
+    )

@@ -30,6 +30,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -103,7 +104,12 @@ class SynthesisService:
         self._fns: dict = {}  # stage -> synthesize fn (jit cache inside)
         self._longclip_fns: dict = {}  # stage -> time-sharded fn
         self._q: queue.Queue = queue.Queue()
+        self._pending: deque = deque()  # deferred other-signature requests
         self._stop = threading.Event()
+        # Mutated by the batcher thread, read by HTTP handler threads
+        # (/stats): guard with a lock and serve snapshots so a reader never
+        # observes a half-updated dict.
+        self._stats_lock = threading.Lock()
         self.stats = {
             "requests": 0,
             "batches": 0,
@@ -135,6 +141,13 @@ class SynthesisService:
         self._q.put(req)
         return req.future
 
+    def stats_snapshot(self) -> dict:
+        """Consistent copy of the counters (safe from any thread)."""
+        with self._stats_lock:
+            snap = dict(self.stats)
+            snap["signatures"] = list(self.stats["signatures"])
+        return snap
+
     def close(self) -> None:
         self._stop.set()
         self._q.put(None)  # wake the collector
@@ -148,13 +161,29 @@ class SynthesisService:
     # -- batcher ------------------------------------------------------------
 
     def _collect(self) -> list[_Request]:
-        """Block for one request, then drain same-signature arrivals for up
-        to ``window_s`` (other signatures stay queued for the next round)."""
-        first = self._q.get()
-        if first is None:
-            return []
+        """Pick the oldest waiting request as the batch leader, then drain
+        same-signature arrivals for up to ``window_s``.
+
+        Other-signature requests land in ``self._pending`` (batcher-thread
+        private), which is always drained BEFORE the queue — so under
+        sustained load of one dominant signature, a deferred minority
+        request becomes the next leader instead of being re-enqueued behind
+        fresh arrivals forever (the round-2 starvation)."""
+        if self._pending:
+            first = self._pending.popleft()
+        else:
+            first = self._q.get()
+            if first is None:
+                return []
         batch = [first]
-        deferred = []
+        # Same-signature requests deferred in earlier rounds join first.
+        still_pending = deque()
+        for r in self._pending:
+            if r.signature == first.signature and len(batch) < self.max_batch:
+                batch.append(r)
+            else:
+                still_pending.append(r)
+        self._pending = still_pending
         deadline = time.monotonic() + self.window_s
         while len(batch) < self.max_batch:
             timeout = deadline - time.monotonic()
@@ -166,9 +195,10 @@ class SynthesisService:
                 break
             if r is None:
                 break
-            (batch if r.signature == first.signature else deferred).append(r)
-        for r in deferred:
-            self._q.put(r)
+            if r.signature == first.signature:
+                batch.append(r)
+            else:
+                self._pending.append(r)
         return batch
 
     def _run(self) -> None:
@@ -210,10 +240,11 @@ class SynthesisService:
         )
         wave = np.asarray(self._longclip_fns[stage](self.params, z))
         sig = f"stage{stage}/nb_vec{req.nb_vec}/longclip{self.mesh.size}"
-        self.stats["requests"] += 1
-        self.stats["batches"] += 1
-        if sig not in self.stats["signatures"]:
-            self.stats["signatures"].append(sig)
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["batches"] += 1
+            if sig not in self.stats["signatures"]:
+                self.stats["signatures"].append(sig)
         req.future.set_result(np.asarray(wave, np.float32))
 
     def _execute(self, batch: list[_Request]) -> None:
@@ -240,12 +271,15 @@ class SynthesisService:
         waves = np.asarray(self._fns[stage](self.params, z))
 
         sig = f"stage{stage}/nb_vec{nb_vec}/b{bucket}"
-        self.stats["requests"] += len(batch)
-        self.stats["batches"] += 1
-        self.stats["batched_requests"] += len(batch) if len(batch) > 1 else 0
-        self.stats["padded_slots"] += bucket - len(batch)
-        if sig not in self.stats["signatures"]:
-            self.stats["signatures"].append(sig)
+        with self._stats_lock:
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += (
+                len(batch) if len(batch) > 1 else 0
+            )
+            self.stats["padded_slots"] += bucket - len(batch)
+            if sig not in self.stats["signatures"]:
+                self.stats["signatures"].append(sig)
         for r, w in zip(batch, waves):
             r.future.set_result(np.asarray(w, np.float32))
 
@@ -280,7 +314,7 @@ def _make_handler(service: SynthesisService):
                     "stage": service.default_stage,
                 })
             elif path == "/stats":
-                self._json(200, service.stats)
+                self._json(200, service.stats_snapshot())
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 

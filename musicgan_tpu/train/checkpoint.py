@@ -69,7 +69,33 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, template
         )
-        state = self._ckptr.restore(os.path.join(d, "state"), abstract)
+        try:
+            state = self._ckptr.restore(os.path.join(d, "state"), abstract)
+        except Exception:
+            if template.gen_ema is not None:
+                # EMA-on resume of a checkpoint saved by an ema_decay=0
+                # run (or before EMA existed): restore the legacy
+                # structure, then seed the EMA from the live weights.
+                alt = template._replace(gen_ema=None)
+                fixup = lambda s: s._replace(  # noqa: E731
+                    gen_ema=jax.tree_util.tree_map(
+                        lambda x: x.copy(), s.gen_params
+                    )
+                )
+            else:
+                # EMA-off template against an EMA-carrying checkpoint
+                # (e.g. generate/export loading an ema_decay>0 run): ask
+                # for the EMA subtree too, shaped like gen_params.
+                alt = template._replace(gen_ema=template.gen_params)
+                fixup = None
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, alt
+            )
+            state = self._ckptr.restore(os.path.join(d, "state"), abstract)
+            if not isinstance(state, TrainState):
+                state = TrainState(*state)
+            if fixup is not None:
+                state = fixup(state)
         with open(os.path.join(d, "meta.json")) as f:
             meta = json.load(f)
         if not isinstance(state, TrainState):

@@ -315,10 +315,26 @@ def train(
             if lead:
                 print(f"[dataset] grew to {len(dataset)} samples", flush=True)
             if use_dev_data:
-                data_dev = jnp.asarray(dataset.as_array())  # re-ship once
+                # The budget was checked at startup; a still-growing corpus
+                # can outgrow it mid-run.  Stop re-shipping rather than OOM
+                # the device — training continues on the resident snapshot.
+                if (
+                    dataset.nbytes()
+                    <= train_cfg.device_dataset_budget_bytes
+                ):
+                    data_dev = jnp.asarray(dataset.as_array())  # re-ship once
+                elif lead:
+                    print(
+                        "[dataset] grown corpus exceeds "
+                        "device_dataset_budget_bytes; keeping the resident "
+                        f"{data_dev.shape[0]}-sample snapshot",
+                        flush=True,
+                    )
         epoch_batches = (
             batch_indices(
-                len(dataset),
+                # Index into the RESIDENT array: it may lag len(dataset)
+                # when a grown corpus stopped fitting the budget above.
+                int(data_dev.shape[0]),
                 train_cfg.batch_size,
                 seed=train_cfg.seed + epoch,
             )

@@ -9,7 +9,6 @@ current-stage generator.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -38,16 +37,20 @@ class Saver:
         self.counter = 0
         self.curr_save = 0
         self._preview_key = jax.random.PRNGKey(train_cfg.seed + 777)
+        # Per-instance jit cache (an lru_cache on the method would key on
+        # ``self`` and pin every Saver + its graphs for the process life).
+        self._preview_fns: dict[int, object] = {}
 
-    @functools.lru_cache(maxsize=None)
     def _preview_fwd(self, stage: int):
-        cfg = self.model_cfg
+        if stage not in self._preview_fns:
+            cfg = self.model_cfg
 
-        @jax.jit
-        def fwd(params, z, alpha):
-            return generator_forward(params, z, stage, alpha, cfg)
+            @jax.jit
+            def fwd(params, z, alpha):
+                return generator_forward(params, z, stage, alpha, cfg)
 
-        return fwd
+            self._preview_fns[stage] = fwd
+        return self._preview_fns[stage]
 
     def _save_previews(self, state: TrainState, stage: int, alpha: float):
         import matplotlib
@@ -57,12 +60,17 @@ class Saver:
 
         cfg = self.model_cfg
         fwd = self._preview_fwd(stage)
+        # Previews render what generate/export would ship: the EMA weights
+        # when the run carries them (TrainConfig.ema_decay > 0).
+        gen_params = (
+            state.gen_ema if state.gen_ema is not None else state.gen_params
+        )
         for gen_idx in range(self.cfg.nb_preview):
             self._preview_key, k = jax.random.split(self._preview_key)
             z = jax.random.normal(
                 k, (1, cfg.latent_height, cfg.latent_width, cfg.rand_channels)
             )
-            x = np.asarray(fwd(state.gen_params, z, alpha))  # (1, H, W, 2)
+            x = np.asarray(fwd(gen_params, z, alpha))  # (1, H, W, 2)
             for ch, name in ((0, "magn"), (1, "phase")):
                 img = x[0, :, :, ch]
                 fig, ax = plt.subplots()

@@ -31,6 +31,7 @@ step (``train.py:180-186,218-221``).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, NamedTuple
 
@@ -70,6 +71,10 @@ class TrainState(NamedTuple):
     opt_disc: Any
     rng: jax.Array
     iter_idx: jax.Array  # int32 scalar
+    # EMA copy of gen_params for eval (TrainConfig.ema_decay > 0), else
+    # None — an empty pytree subtree, so checkpoints and graphs from
+    # EMA-off runs keep their round-2 structure exactly.
+    gen_ema: Any = None
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -106,6 +111,11 @@ def _init_fn(model_cfg: ModelConfig, train_cfg: TrainConfig):
             opt_disc=opt_d.init(disc_params),
             rng=kr,
             iter_idx=jnp.zeros((), jnp.int32),
+            gen_ema=(
+                jax.tree.map(jnp.copy, gen_params)
+                if train_cfg.ema_decay > 0
+                else None
+            ),
         )
 
     return _init
@@ -130,21 +140,45 @@ def _make_iteration(
     """Shared per-iteration core.  Returns ``iteration(state, x_raw, alpha,
     do_g)`` where ``do_g`` may be a Python bool (static; dead branch pruned
     at trace time) or a traced bool (lowered to ``lax.cond``)."""
-    from ..ops.autotune import resolve_conv_impl
+    from ..ops.autotune import SECOND_ORDER_IMPLS, resolve_conv_impl
 
     # Training differentiates through the generator: resolve conv_impl to a
-    # differentiable lowering (rejects the VJP-less Pallas impl explicitly).
+    # differentiable lowering (rejects inference-only Pallas impls
+    # explicitly).  With train_cfg given, "auto" is measured on a real
+    # train-step graph (fwd + GP + bwd + Adam), not the inference forward.
     z_shape = (
         train_cfg.batch_size, model_cfg.latent_height,
         model_cfg.latent_width, model_cfg.rand_channels,
     )
     model_cfg = resolve_conv_impl(
-        model_cfg, z_shape, stage, for_training=True
+        model_cfg, z_shape, stage, for_training=True, train_cfg=train_cfg
+    )
+    # The WGAN-GP branch differentiates the critic TWICE (grad-of-grad);
+    # jax.custom_vjp supports one differentiation, so "pallas_train" covers
+    # only the first-order contexts (out_real/out_fake/g_branch) and the
+    # GP's critic keeps the plain XLA lowering.
+    gp_model_cfg = (
+        model_cfg
+        if model_cfg.conv_impl in SECOND_ORDER_IMPLS
+        else dataclasses.replace(model_cfg, conv_impl="xla")
     )
     size = 4 * 2**stage
     disc_stage = len(model_cfg.disc_channels) - 2 - stage  # 7 -> 0
+    # "bfloat16_f32gp": bf16 matmul/conv operands in every forward EXCEPT
+    # the gradient-penalty branch.  The round-2 study (VALIDATION.md r2)
+    # found plain bf16 destabilizes exactly the GP — it regularizes an
+    # INPUT gradient, the quantity operand rounding perturbs most — so the
+    # mixed recipe pins that one branch to f32 and keeps bf16's HBM savings
+    # everywhere else.
     dtype = (
-        jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+        jnp.bfloat16
+        if train_cfg.compute_dtype in ("bfloat16", "bfloat16_f32gp")
+        else jnp.float32
+    )
+    gp_dtype = (
+        jnp.float32
+        if train_cfg.compute_dtype == "bfloat16_f32gp"
+        else dtype
     )
     gp_w = train_cfg.grad_penalty_weight
     opt_g, opt_d = make_optimizers(train_cfg)
@@ -155,6 +189,12 @@ def _make_iteration(
     def disc_fwd(params, x, alpha):
         return discriminator_forward(
             params, x, disc_stage, alpha, model_cfg, dtype
+        )
+
+    def disc_fwd_gp(params, x, alpha):
+        # Second-order-differentiable critic for the gradient penalty.
+        return discriminator_forward(
+            params, x, disc_stage, alpha, gp_model_cfg, gp_dtype
         )
 
     def d_loss_fn(disc_params, x_real, x_fake, eps, alpha):
@@ -174,7 +214,7 @@ def _make_iteration(
         x_hat = eps * x_real + (1.0 - eps) * x_fake
 
         def critic_sum(x):
-            return jnp.sum(disc_fwd(disc_params, x, alpha))
+            return jnp.sum(disc_fwd_gp(disc_params, x, alpha))
 
         g = jax.grad(critic_sum)(x_hat)
         g_norm = jnp.sqrt(
@@ -225,7 +265,9 @@ def _make_iteration(
         )
         disc_params = optax.apply_updates(state.disc_params, d_updates)
 
-        def g_branch(gen_params, opt_gen):
+        ema_d = train_cfg.ema_decay  # static
+
+        def g_branch(gen_params, opt_gen, gen_ema):
             zg = jax.random.normal(k_zg, z_shape)
             # Reference order: G trains against the *updated* critic
             # (optim_disc.step() ran first, train.py:175 vs :189-214).
@@ -233,27 +275,31 @@ def _make_iteration(
                 g_loss_fn, has_aux=True
             )(gen_params, disc_params, zg, alpha)
             g_updates, opt_gen = opt_g.update(g_grads, opt_gen, gen_params)
-            return (
-                optax.apply_updates(gen_params, g_updates),
-                opt_gen,
-                g_metrics,
-            )
+            gen_params = optax.apply_updates(gen_params, g_updates)
+            if ema_d > 0:  # ProGAN §A.1: EMA over generator UPDATES
+                gen_ema = jax.tree.map(
+                    lambda e, p: ema_d * e + (1.0 - ema_d) * p,
+                    gen_ema, gen_params,
+                )
+            return gen_params, opt_gen, gen_ema, g_metrics
 
-        def no_g_branch(gen_params, opt_gen):
+        def no_g_branch(gen_params, opt_gen, gen_ema):
             return (
                 gen_params,
                 opt_gen,
+                gen_ema,
                 {"gen_loss": jnp.zeros(()), "e_gen": jnp.zeros(())},
             )
 
         if isinstance(do_g, bool):  # static: prune the dead branch
             branch = g_branch if do_g else no_g_branch
-            gen_params, opt_gen, g_metrics = branch(
-                state.gen_params, state.opt_gen
+            gen_params, opt_gen, gen_ema, g_metrics = branch(
+                state.gen_params, state.opt_gen, state.gen_ema
             )
         else:  # traced: one graph, conditional execution on device
-            gen_params, opt_gen, g_metrics = jax.lax.cond(
-                do_g, g_branch, no_g_branch, state.gen_params, state.opt_gen
+            gen_params, opt_gen, gen_ema, g_metrics = jax.lax.cond(
+                do_g, g_branch, no_g_branch,
+                state.gen_params, state.opt_gen, state.gen_ema,
             )
 
         new_state = TrainState(
@@ -263,6 +309,7 @@ def _make_iteration(
             opt_disc=opt_disc,
             rng=rng,
             iter_idx=state.iter_idx + 1,
+            gen_ema=gen_ema,
         )
         return new_state, {**d_metrics, **g_metrics}
 

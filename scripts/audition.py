@@ -25,6 +25,9 @@ def main() -> None:
     ap.add_argument("--nb-vec", type=int, default=2)
     ap.add_argument("--saves", type=str, default=None,
                     help="comma-separated save indices (default: all)")
+    ap.add_argument("--raw-weights", action="store_true",
+                    help="audition the raw generator weights even when the "
+                         "checkpoint carries an EMA copy")
     args = ap.parse_args()
 
     import numpy as np
@@ -56,21 +59,40 @@ def main() -> None:
          cfg.rand_channels),
     )
 
+    def flatness(w):
+        """Geometric/arithmetic spectral-mean ratio over 50 Hz-5 kHz
+        (the VALIDATION.md tonality metric: ~0 = tonal, ~1 = white)."""
+        spec = np.abs(np.fft.rfft(np.asarray(w, np.float64)))
+        freqs = np.fft.rfftfreq(len(w), 1.0 / audio_cfg.sample_rate)
+        band = spec[(freqs >= 50) & (freqs <= 5000)] + 1e-12
+        return float(np.exp(np.mean(np.log(band))) / np.mean(band))
+
     for k in saves:
         state, meta = mgr.restore(k, template)
         stage = int(meta["grower"]["curr_grow"])
         stage = min(stage, cfg.n_stages - 1)
-        waves = np.asarray(synthesize_fn(cfg, stage)(state.gen_params, z))
+        gen_params = (
+            state.gen_params
+            if args.raw_weights or state.gen_ema is None
+            else state.gen_ema
+        )
+        waves = np.asarray(synthesize_fn(cfg, stage)(gen_params, z))
+        flats = []
         for s, w in enumerate(waves):
             p = os.path.join(out_dir, f"save{k:03d}_s{stage}_seed{s}.wav")
             save_wav(p, w, audio_cfg.sample_rate)
             rms = float(np.sqrt(np.mean(np.square(w, dtype=np.float64))))
+            flats.append(flatness(w))
             print(f"{p}  iter={meta.get('iter_idx')} stage={stage} "
-                  f"len={len(w) / audio_cfg.sample_rate:.1f}s rms={rms:.4f}",
+                  f"len={len(w) / audio_cfg.sample_rate:.1f}s rms={rms:.4f} "
+                  f"flatness={flats[-1]:.3f}",
                   flush=True)
         with open(os.path.join(out_dir, f"save{k:03d}.json"), "w") as f:
             json.dump({"save": k, "stage": stage,
-                       "iter": int(meta.get("iter_idx", -1))}, f)
+                       "iter": int(meta.get("iter_idx", -1)),
+                       "flatness": flats,
+                       "ema": bool(state.gen_ema is not None
+                                   and not args.raw_weights)}, f)
 
 
 if __name__ == "__main__":

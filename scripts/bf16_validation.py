@@ -22,11 +22,13 @@ import sys
 from collections import defaultdict
 
 
-def run(dataset: str, out: str, dtype: str, div: int, max_iters: int) -> None:
+def run(dataset: str, out: str, dtype: str, div: int, max_iters: int,
+        seed: int = 0, max_stage: int = 5) -> None:
     cmd = [
         sys.executable, os.path.join(os.path.dirname(__file__), "quality_run.py"),
         "--dataset", dataset, "--out", out, "--schedule-div", str(div),
-        "--compute-dtype", dtype, "--max-stage", "4",
+        "--compute-dtype", dtype, "--max-stage", str(max_stage),
+        "--seed", str(seed),
         "--max-iters", str(max_iters), "--save-every", str(10 * max_iters),
     ]
     print("[bf16cmp] running:", " ".join(cmd), flush=True)
@@ -57,23 +59,50 @@ def main() -> None:
     ap.add_argument("--out-root", required=True)
     ap.add_argument("--schedule-div", type=int, default=50)
     ap.add_argument("--max-iters", type=int, default=3000)
+    ap.add_argument("--max-stage", type=int, default=5,
+                    help="round-2 bf16 destabilized at stage 4 (64x64); "
+                         "default runs through stage 5 to cover it")
+    ap.add_argument("--dtypes", type=str,
+                    default="float32,bfloat16_f32gp",
+                    help="comma-separated; first entry is the baseline")
+    ap.add_argument("--seeds", type=str, default="0,1",
+                    help="comma-separated seeds (each dtype runs each)")
     ap.add_argument("--skip-train", action="store_true",
                     help="only compare existing metrics.csv files")
     args = ap.parse_args()
 
-    outs = {d: os.path.join(args.out_root, d) for d in ("float32", "bfloat16")}
+    dtypes = args.dtypes.split(",")
+    seeds = [int(s) for s in args.seeds.split(",")]
+    outs = {
+        (d, s): os.path.join(args.out_root, f"{d}_seed{s}")
+        for d in dtypes for s in seeds
+    }
     if not args.skip_train:
-        for dtype, out in outs.items():
+        for (dtype, seed), out in outs.items():
             if os.path.isfile(os.path.join(out, "metrics.csv")):
-                print(f"[bf16cmp] reusing completed {dtype} run at {out}")
+                print(f"[bf16cmp] reusing completed run at {out}")
                 continue
-            run(args.dataset, out, dtype, args.schedule_div, args.max_iters)
+            run(args.dataset, out, dtype, args.schedule_div, args.max_iters,
+                seed=seed, max_stage=args.max_stage)
 
-    f32 = load_metrics(outs["float32"])
-    bf16 = load_metrics(outs["bfloat16"])
+    # Compare every non-baseline dtype to the baseline, averaged per seed.
+    base = dtypes[0]
+    all_ok = True
+    for other in dtypes[1:]:
+        for seed in seeds:
+            print(f"\n=== {base} vs {other} (seed {seed}) ===")
+            ok = compare(load_metrics(outs[(base, seed)]),
+                         load_metrics(outs[(other, seed)]), base, other)
+            all_ok = all_ok and ok
+    print("\nmixed-precision convergence parity:",
+          "PASS" if all_ok else "FAIL")
+    sys.exit(0 if all_ok else 1)
 
-    print(f"\n{'stage':>5} {'sep_f32':>10} {'sep_bf16':>10} "
-          f"{'gp_f32':>8} {'gp_bf16':>8} {'dloss_f32':>10} {'dloss_bf16':>10}")
+
+def compare(f32, bf16, name_a="float32", name_b="bfloat16") -> bool:
+    print(f"\n{'stage':>5} {'sep_a':>10} {'sep_b':>10} "
+          f"{'gp_a':>8} {'gp_b':>8} {'dloss_a':>10} {'dloss_b':>10}"
+          f"   (a={name_a}, b={name_b})")
     ok = True
     for stage in sorted(set(f32) & set(bf16)):
         a, b = f32[stage], bf16[stage]
@@ -92,8 +121,7 @@ def main() -> None:
             if abs(x - y) / denom > 0.5:
                 print(f"  !! stage {stage} {name} diverges: {x:.3f} vs {y:.3f}")
                 ok = False
-    print("\nbf16 convergence parity:", "PASS" if ok else "FAIL")
-    sys.exit(0 if ok else 1)
+    return ok
 
 
 if __name__ == "__main__":

@@ -23,12 +23,18 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--schedule-div", type=int, default=10)
     ap.add_argument("--compute-dtype", default="float32",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "bfloat16_f32gp"])
     ap.add_argument("--max-stage", type=int, default=None)
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-every", type=int, default=2000)
     ap.add_argument("--log-every", type=int, default=200)
+    ap.add_argument("--drift-eps", type=float, default=0.0)
+    ap.add_argument("--ema-decay", type=float, default=0.0)
+    ap.add_argument("--device-budget-gb", type=float, default=4.0,
+                    help="device-resident dataset HBM budget (the r3 4x "
+                         "corpus needs ~8 GB; the v5e has 16)")
+    ap.add_argument("--run-name", type=str, default=None)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -46,6 +52,9 @@ def main() -> None:
         seed=args.seed,
         save_every=args.save_every,
         log_every=args.log_every,
+        drift_eps=args.drift_eps,
+        ema_decay=args.ema_decay,
+        device_dataset_budget_bytes=int(args.device_budget_gb * 2**30),
         nb_epoch=100000,  # schedule-bounded, not epoch-bounded
     )
     total = sum(cfg.train_lengths)
@@ -56,7 +65,7 @@ def main() -> None:
     print(f"[quality_run] schedule/{d}: {total} samples to full growth, "
           f"max_iters={max_iters}, dtype={cfg.compute_dtype}")
     train(
-        run_name=f"quality_r2_div{d}_{args.compute_dtype}",
+        run_name=args.run_name or f"quality_div{d}_{args.compute_dtype}",
         input_dataset_path=args.dataset,
         output_dir=args.out,
         train_cfg=cfg,

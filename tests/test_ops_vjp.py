@@ -1,0 +1,169 @@
+"""Gradient-parity tests for the differentiable Pallas conv path.
+
+``ops/conv_vjp.py::conv3x3_act`` (the fused kernel + custom VJP) must match
+the plain XLA lowering in both value and every gradient — it is wired into
+the TRAINING step (impl ``"pallas_train"``), where a silent grad mismatch
+would corrupt runs rather than crash them.  Run in interpret mode on the
+CPU mesh (tests/conftest.py), like the inference kernel tests in
+test_ops.py.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tiny_cfg import TINY_MODEL
+
+from musicgan_tpu.models import (
+    discriminator_forward,
+    generator_forward,
+    init_discriminator,
+    init_generator,
+)
+from musicgan_tpu.ops.conv_vjp import conv3x3_act
+
+CFG_X = dataclasses.replace(TINY_MODEL, conv_impl="xla")
+CFG_P = dataclasses.replace(TINY_MODEL, conv_impl="pallas_train")
+
+
+def _ref_chain(x, w, b, slope, pn, eps):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        preferred_element_type=jnp.float32,
+    ) + b[None, :, None, None]
+    if slope is not None:
+        y = jnp.where(y >= 0, y, slope * y)
+    if pn:
+        m = jnp.mean(jnp.square(y), axis=1, keepdims=True)
+        y = y * jax.lax.rsqrt(m + eps)
+    return y
+
+
+def _max_relerr(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))
+
+
+@pytest.mark.parametrize(
+    "slope,pn", [(0.2, True), (0.2, False), (None, False)]
+)
+def test_conv3x3_act_value_and_grad_parity(slope, pn):
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    B, C, H, W, CO = 1, 3, 8, 10, 4
+    x = jax.random.normal(k1, (B, C, H, W))
+    w = jax.random.normal(k2, (3, 3, C, CO)) * 0.2
+    b = jax.random.normal(k3, (CO,)) * 0.1
+    g = jax.random.normal(k4, (B, CO, H, W))
+
+    def f_p(x, w, b):
+        return jnp.sum(conv3x3_act(x, w, b, slope, pn, 1e-8) * g)
+
+    def f_x(x, w, b):
+        return jnp.sum(_ref_chain(x, w, b, slope, pn, 1e-8) * g)
+
+    v_p = conv3x3_act(x, w, b, slope, pn, 1e-8)
+    v_x = _ref_chain(x, w, b, slope, pn, 1e-8)
+    assert float(jnp.max(jnp.abs(v_p - v_x))) < 1e-5
+
+    g_p = jax.grad(f_p, argnums=(0, 1, 2))(x, w, b)
+    g_x = jax.grad(f_x, argnums=(0, 1, 2))(x, w, b)
+    for a, bb in zip(g_p, g_x):
+        assert _max_relerr(a, bb) < 1e-5
+
+
+def test_pallas_train_generator_grad_parity():
+    """Full tiny-generator forward + parameter gradients, pallas_train vs
+    xla, at a fade-in stage."""
+    kg, kz, kc = jax.random.split(jax.random.PRNGKey(3), 3)
+    params = init_generator(kg, TINY_MODEL)
+    stage = 1
+    z = jax.random.normal(kz, (2, 2, 2, TINY_MODEL.rand_channels))
+    out_x = generator_forward(params, z, stage, 0.5, CFG_X)
+    out_p = generator_forward(params, z, stage, 0.5, CFG_P)
+    assert float(jnp.max(jnp.abs(out_x - out_p))) < 1e-5
+
+    cot = jax.random.normal(kc, out_x.shape)
+
+    def loss(p, cfg):
+        return jnp.sum(generator_forward(p, z, stage, 0.5, cfg) * cot)
+
+    g_x = jax.grad(lambda p: loss(p, CFG_X))(params)
+    g_p = jax.grad(lambda p: loss(p, CFG_P))(params)
+    errs = jax.tree.map(_max_relerr, g_p, g_x)
+    assert max(jax.tree.leaves(errs)) < 1e-4
+
+
+def test_pallas_train_discriminator_grad_parity():
+    """Tiny-critic parameter AND input gradients (the g_branch path
+    differentiates the critic w.r.t. its input), pallas_train vs xla."""
+    kd, kx = jax.random.split(jax.random.PRNGKey(4))
+    params = init_discriminator(kd, TINY_MODEL)
+    stage = len(TINY_MODEL.disc_channels) - 2 - 1  # input 8x8, fade active
+    x = jax.random.normal(kx, (2, 8, 8, 2))
+
+    def loss(p, xx, cfg):
+        return jnp.sum(discriminator_forward(p, xx, stage, 0.5, cfg))
+
+    g_x = jax.grad(lambda p: loss(p, x, CFG_X))(params)
+    g_p = jax.grad(lambda p: loss(p, x, CFG_P))(params)
+    errs = jax.tree.map(_max_relerr, g_p, g_x)
+    assert max(jax.tree.leaves(errs)) < 1e-4
+
+    ix = jax.grad(lambda xx: loss(params, xx, CFG_X))(x)
+    ip = jax.grad(lambda xx: loss(params, xx, CFG_P))(x)
+    assert _max_relerr(ip, ix) < 1e-4
+
+
+def test_train_step_pallas_train_close_to_xla():
+    """One full WGAN-GP iteration (D + GP + G update) with
+    conv_impl="pallas_train" tracks the "xla" step: same RNG, same data
+    -> metrics agree to float tolerance.  Exercises the step's routing
+    (first-order contexts on the custom-VJP path, the GP's grad-of-grad
+    on XLA)."""
+    from musicgan_tpu.config import TrainConfig
+    from musicgan_tpu.train.step import build_step, init_train_state
+
+    tcfg = TrainConfig(batch_size=2, chunk_steps=1, device_dataset="off")
+    x = np.random.default_rng(0).standard_normal((2, 2, 4, 4)).astype(
+        np.float32
+    )
+
+    metrics = {}
+    for name, mcfg in (("xla", CFG_X), ("pallas", CFG_P)):
+        state = init_train_state(jax.random.PRNGKey(7), mcfg, tcfg)
+        step = build_step(0, True, mcfg, tcfg, pre_scaled=True)
+        _, m = step(state, jnp.asarray(x), jnp.float32(1.0))
+        metrics[name] = {k: float(v) for k, v in m.items()}
+
+    for k in metrics["xla"]:
+        assert metrics["pallas"][k] == pytest.approx(
+            metrics["xla"][k], rel=1e-3, abs=1e-4
+        ), k
+
+
+def test_training_and_inference_autotune_keys_differ():
+    """The train-step winner must never alias the inference winner: the
+    persisted keys differ and training candidates exclude the VJP-less
+    inference impls (VERDICT r2 weak-item 1)."""
+    from musicgan_tpu.config import TrainConfig
+    from musicgan_tpu.ops.autotune import (
+        TRAINING_IMPLS,
+        _candidates_and_key,
+    )
+
+    z = (6, 2, 2, 32)
+    cand_i, key_i = _candidates_and_key("tpu", z, 7, False, None)
+    cand_t, key_t = _candidates_and_key("tpu", z, 7, True, TrainConfig())
+    assert key_i != key_t
+    assert "train" in key_t and "train" not in key_i
+    assert cand_t == TRAINING_IMPLS
+    assert "pallas_train" in cand_t
+    assert all(c not in cand_t for c in ("pallas", "pallas_up_bf16"))
+    # bf16 training excludes the f32-only pallas_train path
+    cand_b, key_b = _candidates_and_key(
+        "tpu", z, 7, True, TrainConfig(compute_dtype="bfloat16")
+    )
+    assert "pallas_train" not in cand_b and key_b != key_t

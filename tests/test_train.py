@@ -424,3 +424,69 @@ def test_per_leaf_adam_matches_optax_when_always_active(rng):
         np.testing.assert_allclose(
             np.asarray(u1["w"]), np.asarray(u2["w"]), rtol=2e-5, atol=1e-8
         )
+
+
+# ------------------------------------------------------------------ EMA ---
+
+
+def test_ema_updates_on_g_iterations_only():
+    """TrainConfig.ema_decay > 0 carries an EMA generator copy: seeded from
+    the init weights, blended by `d*ema + (1-d)*params` after each G
+    update, untouched on critic-only iterations (ProGAN §A.1 semantics)."""
+    ema_cfg = dataclasses.replace(FAST_CFG, ema_decay=0.5)
+    state = init_train_state(jax.random.PRNGKey(0), TINY_CFG, ema_cfg)
+    assert state.gen_ema is not None
+    assert _leaf_equal(state.gen_ema, state.gen_params)
+
+    # Critic-only iteration: EMA (and gen) unchanged.
+    step_d = build_step(0, with_gen=False, model_cfg=TINY_CFG,
+                        train_cfg=ema_cfg)
+    before = _snapshot(state)
+    state, _ = step_d(state, _raw_batch(), jnp.float32(1.0))
+    assert _leaf_equal(before.gen_ema, state.gen_ema)
+
+    # G iteration: ema' = 0.5 * ema + 0.5 * gen_params'.
+    step_g = build_step(0, with_gen=True, model_cfg=TINY_CFG,
+                        train_cfg=ema_cfg)
+    prev_ema = _snapshot(state.gen_ema)
+    state, _ = step_g(state, _raw_batch(), jnp.float32(1.0))
+    expect = jax.tree_util.tree_map(
+        lambda e, p: 0.5 * e + 0.5 * np.asarray(p),
+        prev_ema, _snapshot(state.gen_params),
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(_snapshot(state.gen_ema))):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_ema_checkpoint_roundtrip_and_eval_selection(tmp_path):
+    """EMA-on checkpoints restore into both EMA-on and EMA-off templates
+    (generate/export load path prefers the EMA weights), and EMA-off
+    checkpoints restore into an EMA-on template with a seeded EMA."""
+    ema_cfg = dataclasses.replace(FAST_CFG, ema_decay=0.9)
+    state = init_train_state(jax.random.PRNGKey(1), TINY_CFG, ema_cfg)
+    step_g = build_step(0, with_gen=True, model_cfg=TINY_CFG,
+                        train_cfg=ema_cfg)
+    state, _ = step_g(state, _raw_batch(), jnp.float32(1.0))
+    ema_snap = _snapshot(state.gen_ema)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(0, state, {"grower": {}, "iter_idx": 1})
+
+    # EMA-on template: exact roundtrip.
+    t_on = init_train_state(jax.random.PRNGKey(2), TINY_CFG, ema_cfg)
+    back, _ = mgr.restore(0, t_on)
+    assert _leaf_equal(ema_snap, back.gen_ema)
+
+    # EMA-off template (the generate/export path): EMA recovered too.
+    t_off = init_train_state(jax.random.PRNGKey(2), TINY_CFG, FAST_CFG)
+    back_off, _ = mgr.restore(0, t_off)
+    assert back_off.gen_ema is not None
+    assert _leaf_equal(ema_snap, back_off.gen_ema)
+
+    # Reverse: EMA-off checkpoint into an EMA-on template seeds ema=params.
+    state_off = init_train_state(jax.random.PRNGKey(3), TINY_CFG, FAST_CFG)
+    mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+    mgr2.save(0, state_off, {"grower": {}, "iter_idx": 0})
+    back2, _ = mgr2.restore(0, t_on)
+    assert _leaf_equal(back2.gen_ema, back2.gen_params)
