@@ -238,14 +238,17 @@ class SynthesisService:
             (1, cfg.latent_height, cfg.latent_width * req.nb_vec,
              cfg.rand_channels),
         )
-        wave = np.asarray(self._longclip_fns[stage](self.params, z))
+        # Resolve with the device-resident waveform: the HTTP layer fetches
+        # it (whole, or slice-by-slice for streaming responses) so the
+        # device->host transfer overlaps the socket writes.
+        wave = self._longclip_fns[stage](self.params, z)
         sig = f"stage{stage}/nb_vec{req.nb_vec}/longclip{self.mesh.size}"
         with self._stats_lock:
             self.stats["requests"] += 1
             self.stats["batches"] += 1
             if sig not in self.stats["signatures"]:
                 self.stats["signatures"].append(sig)
-        req.future.set_result(np.asarray(wave, np.float32))
+        req.future.set_result(wave)
 
     def _execute(self, batch: list[_Request]) -> None:
         if self._use_longclip(batch):
@@ -268,7 +271,9 @@ class SynthesisService:
 
         if stage not in self._fns:
             self._fns[stage] = synthesize_fn(cfg, stage)
-        waves = np.asarray(self._fns[stage](self.params, z))
+        # Keep the batch on device; each future resolves to a lazy row so
+        # the HTTP layer's fetch (whole or sliced) overlaps socket writes.
+        waves = self._fns[stage](self.params, z)
 
         sig = f"stage{stage}/nb_vec{nb_vec}/b{bucket}"
         with self._stats_lock:
@@ -281,7 +286,7 @@ class SynthesisService:
             if sig not in self.stats["signatures"]:
                 self.stats["signatures"].append(sig)
         for r, w in zip(batch, waves):
-            r.future.set_result(np.asarray(w, np.float32))
+            r.future.set_result(w)
 
 
 def _wav_bytes(wave: np.ndarray, sample_rate: int) -> bytes:
@@ -292,8 +297,27 @@ def _wav_bytes(wave: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _wav_header(n_samples: int, sample_rate: int) -> bytes:
+    """RIFF header for a mono float32 WAV of known length (IEEE-float
+    format 3 with the spec-required 'fact' chunk — matching scipy's
+    layout), so a streamed body can start before the data is fetched."""
+    import struct
+
+    data = n_samples * 4
+    return b"".join([
+        b"RIFF", struct.pack("<I", 4 + 26 + 12 + 8 + data), b"WAVE",
+        b"fmt ", struct.pack(
+            "<IHHIIHH", 18, 3, 1, sample_rate, sample_rate * 4, 4, 32
+        ), struct.pack("<H", 0),
+        b"fact", struct.pack("<II", 4, n_samples),
+        b"data", struct.pack("<I", data),
+    ])
+
+
 def _make_handler(service: SynthesisService):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked transfer for streaming
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -338,12 +362,40 @@ def _make_handler(service: SynthesisService):
             except Exception as e:
                 self._json(400, {"error": repr(e)})
                 return
-            body = _wav_bytes(wave, service.audio_cfg.sample_rate)
+            if arg("stream", 0):
+                self._stream_wav(wave)
+                return
+            body = _wav_bytes(np.asarray(wave, np.float32),
+                              service.audio_cfg.sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream_wav(self, wave) -> None:
+            """Chunked WAV response: the waveform stays device-resident
+            until here, and each segment's device->host fetch overlaps the
+            previous segment's socket write (`POST /synthesize?...&stream=1`).
+            On tunnel-bound deployments this moves time-to-first-byte from
+            'after the full fetch' to 'after the first segment'."""
+            n = int(wave.shape[0])
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes) -> None:
+                self.wfile.write(b"%X\r\n" % len(data))
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            chunk(_wav_header(n, service.audio_cfg.sample_rate))
+            seg = 262_144  # 1 MiB of float32 per segment
+            for a in range(0, n, seg):
+                piece = np.asarray(wave[a : a + seg], np.float32)
+                chunk(piece.tobytes())
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

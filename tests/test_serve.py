@@ -158,3 +158,36 @@ def test_http_surface(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_streaming_wav(service):
+    """`?stream=1` returns a chunked WAV (device->host fetch overlaps the
+    socket writes) that decodes byte-identically to the buffered route."""
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def fetch(extra=""):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize?seed=11&nb_vec=1{extra}",
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert r.headers["Content-Type"] == "audio/wav"
+                return r.read(), r.headers
+
+        body_s, hdr_s = fetch("&stream=1")
+        assert hdr_s.get("Transfer-Encoding") == "chunked"
+        assert hdr_s.get("Content-Length") is None
+        body_b, _ = fetch()
+
+        from scipy.io import wavfile
+
+        sr_s, wav_s = wavfile.read(io.BytesIO(body_s))
+        sr_b, wav_b = wavfile.read(io.BytesIO(body_b))
+        assert sr_s == sr_b == service.audio_cfg.sample_rate
+        np.testing.assert_array_equal(wav_s, wav_b)
+    finally:
+        server.shutdown()
+        server.server_close()
