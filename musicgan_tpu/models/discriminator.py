@@ -29,6 +29,7 @@ _DEFAULT = ModelConfig()
 __all__ = [
     "init_discriminator",
     "discriminator_forward",
+    "critic_input_grad_nchw_train",
     "discriminator_param_count",
 ]
 
@@ -83,7 +84,7 @@ def discriminator_forward(
 ) -> jnp.ndarray:
     """``x``: (B, H, W, 2) NHWC at the stage's resolution -> (B, 1) critic
     score.  ``stage`` is static; 7 = 4x4 input, 0 = 512x512 input."""
-    if cfg.conv_impl == "pallas_train":
+    if cfg.conv_impl in ("pallas_train", "pallas_gp"):
         return _discriminator_forward_nchw_train(params, x, stage, alpha, cfg)
     n = len(cfg.disc_channels)
 
@@ -146,6 +147,114 @@ def _discriminator_forward_nchw_train(
     out = out.reshape(out.shape[0], -1)  # final spatial is 1x1: same
     # flatten result as the NHWC path.
     return linear(out, params["clf"], jnp.float32)
+
+
+def critic_input_grad_nchw_train(
+    params: dict, x: jnp.ndarray, stage: int, alpha, cfg: ModelConfig
+) -> jnp.ndarray:
+    """``∇_x Σ_b D(x)`` with the critic's backward pass UNROLLED by hand
+    from first-order Pallas convs (impl ``"pallas_gp"``).
+
+    Why: the WGAN-GP needs this input gradient *inside* the loss, so the
+    usual ``jax.grad`` formulation makes the train step differentiate the
+    critic twice — beyond ``jax.custom_vjp``'s one differentiation, which
+    locked the GP branch onto the slow XLA conv lowering (train/step.py,
+    round-3 PERF.md).  Here the inner backward is explicit: the transpose
+    of each 'SAME' conv3x3 is a 'SAME' conv3x3 with rot180/io-swapped
+    weights (the Pallas kernel), avg-pool's transpose is a nearest-2x
+    broadcast x 0.25, LeakyReLU's is a sign-mask multiply, and the 1x1
+    heads/final Linear transpose to einsums.  Every op is then
+    differentiated ONCE by the outer ``jax.value_and_grad``.
+
+    Exactness: the only theta-dependence dropped is through the LeakyReLU
+    sign masks, whose derivative is zero almost everywhere — the same
+    convention XLA's own grad-of-grad applies to ``where`` (its condition
+    operand gets a zero cotangent), so this matches ``jax.grad(critic_sum)``
+    on the XLA path to float tolerance, including the outer gradient
+    (tested in tests/test_ops_vjp.py).
+
+    Matches the reference's ``gradient_penalty`` input-gradient semantics
+    (reference ``discriminator.py:157-184``).
+    """
+    from ..ops.conv_vjp import conv3x3_act
+    from .layers import upsample_nearest_2x_nchw
+
+    n = len(cfg.disc_channels)
+    slope = cfg.leaky_slope
+
+    def mask(t):
+        # sign(post-activation) == sign(preactivation): slope > 0.
+        return jnp.where(t >= 0, 1.0, slope)
+
+    def conv_t(ct, w):
+        w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+        return conv3x3_act(
+            ct, w_t, jnp.zeros((w.shape[2],), jnp.float32), None, False, 0.0
+        )
+
+    # ---- forward, recording post-activations -----------------------------
+    xn = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
+
+    def head_fwd(p, t):
+        w = p["w"][0, 0]
+        y = jnp.einsum("bchw,ck->bkhw", t, w) + p["b"][None, :, None, None]
+        return jnp.where(y >= 0, y, slope * y)
+
+    def block_fwd(p, t):
+        c1 = conv3x3_act(t, p["conv1"]["w"], p["conv1"]["b"], slope, False,
+                         0.0)
+        pl = avg_pool_2x_nchw(c1)
+        c2 = conv3x3_act(pl, p["conv2"]["w"], p["conv2"]["b"], slope, False,
+                         0.0)
+        return c1, c2
+
+    h_new = head_fwd(params["heads"][stage], xn)
+    acts = []  # (c1, c2) per block, in forward order
+    c1, out = block_fwd(params["blocks"][stage], h_new)
+    acts.append((c1, out))
+
+    fade = stage < n - 2
+    if fade:
+        pooled_x = avg_pool_2x_nchw(xn)
+        h_old = head_fwd(params["heads"][stage + 1], pooled_x)
+        out = alpha * out + (1.0 - alpha) * h_old
+    for i in range(stage + 1, n):
+        c1, out = block_fwd(params["blocks"][i], out)
+        acts.append((c1, out))
+
+    # ---- explicit backward of sum(score) w.r.t. xn ------------------------
+    bsz = x.shape[0]
+    w_clf = params["clf"]["w"][:, 0]  # (C,)
+    d_out = jnp.broadcast_to(
+        w_clf[None, :, None, None], (bsz, w_clf.shape[0], 1, 1)
+    )
+
+    def block_bwd(p, c1, c2, d_c2):
+        d_pl = conv_t(d_c2 * mask(c2), p["conv2"]["w"])
+        d_c1 = upsample_nearest_2x_nchw(d_pl) * 0.25
+        return conv_t(d_c1 * mask(c1), p["conv1"]["w"])
+
+    def head_bwd(p, h, d_h):
+        w = p["w"][0, 0]
+        return jnp.einsum("bkhw,ck->bchw", d_h * mask(h), w)
+
+    for i in range(n - 1, stage, -1):
+        c1, c2 = acts[i - stage]
+        d_out = block_bwd(params["blocks"][i], c1, c2, d_out)
+
+    if fade:
+        d_new = alpha * d_out
+        d_old = (1.0 - alpha) * d_out
+        d_pooled = head_bwd(params["heads"][stage + 1], h_old, d_old)
+        d_xn_old = upsample_nearest_2x_nchw(d_pooled) * 0.25
+    else:
+        d_new = d_out
+        d_xn_old = 0.0
+
+    c1, c2 = acts[0]
+    d_h_new = block_bwd(params["blocks"][stage], c1, c2, d_new)
+    d_xn = head_bwd(params["heads"][stage], h_new, d_h_new) + d_xn_old
+    return jnp.transpose(d_xn, (0, 2, 3, 1))
 
 
 def discriminator_param_count(

@@ -122,7 +122,7 @@ def generator_forward(
     :func:`musicgan_tpu.ops.autotune.resolve_conv_impl`.
     """
     impl = cfg.conv_impl
-    if impl == "pallas_train":
+    if impl in ("pallas_train", "pallas_gp"):
         # Differentiable Pallas path (ops/conv_vjp.py): fused kernel
         # forward + custom VJP whose input-grad conv is also the kernel.
         return _generator_forward_nchw_train(params, z, stage, alpha, cfg)

@@ -52,8 +52,13 @@ _CACHE_VERSION = 5  # bump when any impl's kernel changes: invalidates
 # operands to bf16, so the default "xla" path sees the same operand
 # rounding; bf16 I/O just also halves the HBM traffic (tested: the full
 # generator stack agrees with the f32 kernel to bf16 rounding).
-TRAINING_IMPLS = ("xla", "subpixel", "pallas_train")
-# Impls whose graphs JAX can differentiate twice (the GP requirement).
+# "pallas_gp" = pallas_train + the gradient penalty's inner input-gradient
+# unrolled by hand from first-order Pallas convs (models/discriminator.py::
+# critic_input_grad_nchw_train) — the whole step runs the fused kernels.
+TRAINING_IMPLS = ("xla", "subpixel", "pallas_train", "pallas_gp")
+# Impls whose graphs JAX can differentiate twice (the jax.grad-of-grad GP
+# formulation requirement; pallas_gp sidesteps it with the explicit
+# backward, so it is NOT needed here).
 SECOND_ORDER_IMPLS = ("xla", "subpixel")
 # "pallas_up*" additionally fuse each up2x+conv3x3 pair so the 4x
 # intermediate never leaves VMEM (ops/conv.py::fused_upconv3x3).

@@ -213,10 +213,21 @@ def _make_iteration(
         # critic at a random interpolate must have unit norm.
         x_hat = eps * x_real + (1.0 - eps) * x_fake
 
-        def critic_sum(x):
-            return jnp.sum(disc_fwd_gp(disc_params, x, alpha))
+        if model_cfg.conv_impl == "pallas_gp":
+            # Explicit hand-derived inner backward on the Pallas kernels
+            # (first-order ops only; the outer value_and_grad then
+            # differentiates it ONCE — see critic_input_grad_nchw_train).
+            from ..models.discriminator import critic_input_grad_nchw_train
 
-        g = jax.grad(critic_sum)(x_hat)
+            g = critic_input_grad_nchw_train(
+                disc_params, x_hat, disc_stage, alpha, model_cfg
+            )
+        else:
+
+            def critic_sum(x):
+                return jnp.sum(disc_fwd_gp(disc_params, x, alpha))
+
+            g = jax.grad(critic_sum)(x_hat)
         g_norm = jnp.sqrt(
             jnp.sum(jnp.square(g.reshape(g.shape[0], -1)), axis=1) + 1e-12
         )

@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--log-every", type=int, default=200)
     ap.add_argument("--drift-eps", type=float, default=0.0)
     ap.add_argument("--ema-decay", type=float, default=0.0)
+    ap.add_argument("--chunk-steps", type=int, default=None,
+                    help="iterations per dispatch; raise (e.g. 100) on "
+                         "tunnel-bound chips where per-dispatch H2D RTT "
+                         "dominates the small growth stages")
     ap.add_argument("--device-budget-gb", type=float, default=4.0,
                     help="device-resident dataset HBM budget (the r3 4x "
                          "corpus needs ~8 GB; the v5e has 16)")
@@ -57,6 +61,8 @@ def main() -> None:
         device_dataset_budget_bytes=int(args.device_budget_gb * 2**30),
         nb_epoch=100000,  # schedule-bounded, not epoch-bounded
     )
+    if args.chunk_steps is not None:
+        cfg = dataclasses.replace(cfg, chunk_steps=args.chunk_steps)
     total = sum(cfg.train_lengths)
     max_iters = args.max_iters
     if max_iters is None:

@@ -167,3 +167,81 @@ def test_training_and_inference_autotune_keys_differ():
         "tpu", z, 7, True, TrainConfig(compute_dtype="bfloat16")
     )
     assert "pallas_train" not in cand_b and key_b != key_t
+
+
+CFG_G = dataclasses.replace(TINY_MODEL, conv_impl="pallas_gp")
+
+
+def test_explicit_critic_input_grad_matches_autodiff():
+    """The hand-unrolled critic input gradient (impl "pallas_gp") equals
+    jax.grad through the XLA critic — value AND the outer theta-gradient
+    of the gradient penalty built from it (the grad-of-grad the step
+    actually takes) — at both a fade and a no-fade stage."""
+    from musicgan_tpu.models.discriminator import (
+        critic_input_grad_nchw_train,
+    )
+
+    kd, kx = jax.random.split(jax.random.PRNGKey(5))
+    params = init_discriminator(kd, TINY_MODEL)
+    n = len(TINY_MODEL.disc_channels)
+
+    for stage, hw in ((n - 2, 4), (n - 4, 16)):
+        x = jax.random.normal(kx, (2, hw, hw, 2))
+        alpha = 0.4
+
+        g_ref = jax.grad(
+            lambda xx: jnp.sum(
+                discriminator_forward(params, xx, stage, alpha, CFG_X)
+            )
+        )(x)
+        g_exp = critic_input_grad_nchw_train(params, x, stage, alpha, CFG_G)
+        assert _max_relerr(g_exp, g_ref) < 1e-5
+
+        def gp_of(p, inner):
+            gg = inner(p)
+            gn = jnp.sqrt(
+                jnp.sum(jnp.square(gg.reshape(gg.shape[0], -1)), axis=1)
+                + 1e-12
+            )
+            return jnp.mean(jnp.square(gn - 1.0))
+
+        v_x, d_x = jax.value_and_grad(
+            lambda p: gp_of(p, lambda pp: jax.grad(
+                lambda xx: jnp.sum(
+                    discriminator_forward(pp, xx, stage, alpha, CFG_X)
+                )
+            )(x))
+        )(params)
+        v_p, d_p = jax.value_and_grad(
+            lambda p: gp_of(p, lambda pp: critic_input_grad_nchw_train(
+                pp, x, stage, alpha, CFG_G
+            ))
+        )(params)
+        assert float(v_p) == pytest.approx(float(v_x), rel=1e-5)
+        errs = jax.tree.map(_max_relerr, d_p, d_x)
+        assert max(jax.tree.leaves(errs)) < 1e-4
+
+
+def test_train_step_pallas_gp_close_to_xla():
+    """One full WGAN-GP iteration with conv_impl="pallas_gp" (explicit GP
+    backward, everything on the custom-VJP kernels) tracks the "xla"
+    step's metrics."""
+    from musicgan_tpu.config import TrainConfig
+    from musicgan_tpu.train.step import build_step, init_train_state
+
+    tcfg = TrainConfig(batch_size=2, chunk_steps=1, device_dataset="off")
+    x = np.random.default_rng(0).standard_normal((2, 2, 4, 4)).astype(
+        np.float32
+    )
+
+    metrics = {}
+    for name, mcfg in (("xla", CFG_X), ("pallas_gp", CFG_G)):
+        state = init_train_state(jax.random.PRNGKey(7), mcfg, tcfg)
+        step = build_step(0, True, mcfg, tcfg, pre_scaled=True)
+        _, m = step(state, jnp.asarray(x), jnp.float32(1.0))
+        metrics[name] = {k: float(v) for k, v in m.items()}
+
+    for k in metrics["xla"]:
+        assert metrics["pallas_gp"][k] == pytest.approx(
+            metrics["xla"][k], rel=1e-3, abs=1e-4
+        ), k

@@ -490,3 +490,42 @@ def test_ema_checkpoint_roundtrip_and_eval_selection(tmp_path):
     mgr2.save(0, state_off, {"grower": {}, "iter_idx": 0})
     back2, _ = mgr2.restore(0, t_on)
     assert _leaf_equal(back2.gen_ema, back2.gen_params)
+
+
+def test_device_dataset_budget_guard_on_refresh(tmp_path, monkeypatch, capsys):
+    """A streaming-ingest refresh that outgrows device_dataset_budget_bytes
+    must NOT re-ship the corpus to HBM (round-2 advisor finding): training
+    continues on the resident snapshot and batch indices stay bounded by
+    the resident row count."""
+    from musicgan_tpu.audio import ingest as ing
+    from musicgan_tpu.train import loop as L
+
+    out = str(tmp_path / "ds")
+    w = ing.ShardWriter(out, samples_per_shard=2)
+    rng = np.random.default_rng(0)
+    w.add(rng.uniform(-1, 1, (2, 2, 8, 8)).astype(np.float32))  # 2 samples
+
+    class GrowingDS(L.SpectrogramDataset):
+        """refresh() that grows the corpus past the budget mid-run."""
+
+        def refresh(self):
+            if len(self) == 2:
+                w.add(rng.uniform(-1, 1, (6, 2, 8, 8)).astype(np.float32))
+            return super().refresh()
+
+    monkeypatch.setattr(L, "SpectrogramDataset", GrowingDS)
+    budget = 2 * 2 * 8 * 8 * 4 + 16  # fits exactly the initial 2 samples
+    cfg = dataclasses.replace(
+        FAST_CFG, batch_size=2, device_dataset="on",
+        device_dataset_budget_bytes=budget, chunk_steps=1, max_stage=0,
+        save_every=10**9, log_every=10**9,
+        fadein_lengths=(1,) * 8, train_lengths=(10**9,) * 7, nb_epoch=4,
+    )
+    state = L.train(
+        "budget_guard", out, str(tmp_path / "run"), train_cfg=cfg,
+        model_cfg=TINY_CFG, max_iters=3, mesh=None,
+    )
+    assert int(state.iter_idx) == 3
+    text = capsys.readouterr().out
+    assert "grew to 8 samples" in text
+    assert "keeping the resident" in text
