@@ -68,6 +68,19 @@ def main() -> None:
                    help="coordinator address host:port for multi-host runs")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    # failure detection / supervised restart (utils/watchdog.py)
+    p.add_argument("--stall-timeout", type=float, default=None,
+                   metavar="SECONDS",
+                   help="abort (exit 75) when no device progress is seen "
+                        "for this long — a wedged accelerator dispatch "
+                        "never returns on its own; pairs with "
+                        "--max-restarts (default: 900 when --max-restarts "
+                        "is set, else off)")
+    p.add_argument("--max-restarts", type=int, default=0, metavar="N",
+                   help="supervise the run: relaunch up to N times with "
+                        "--resume when it exits 75 (stall watchdog) or "
+                        "dies on a signal (preemption); other failures "
+                        "are not retried")
 
     p = sub.add_parser("generate", help="sample latents -> WAV files")
     p.add_argument("gen_dict_state", type=str,
@@ -136,6 +149,45 @@ def main() -> None:
     elif args.mode == "train":
         import contextlib
 
+        if args.max_restarts > 0:
+            # Become the supervisor: re-invoke this same command as a
+            # child (minus --max-restarts, plus --resume from attempt 1)
+            # and retry stall-watchdog exits / signal deaths.
+            import sys
+
+            from .utils.supervise import run_supervised
+
+            base = [a for a in sys.argv[1:]]
+            # strip --max-restarts N (both "--max-restarts N" and "=N")
+            child_args = []
+            skip = False
+            for a in base:
+                if skip:
+                    skip = False
+                    continue
+                if a == "--max-restarts":
+                    skip = True
+                    continue
+                if a.startswith("--max-restarts="):
+                    continue
+                child_args.append(a)
+            if args.stall_timeout is None:
+                child_args += ["--stall-timeout", "900"]
+
+            def make_cmd(attempt):
+                extra = (
+                    ["--resume"]
+                    if attempt > 0 and "--resume" not in child_args
+                    else []
+                )
+                return (
+                    [sys.executable, "-m", "musicgan_tpu"]
+                    + child_args
+                    + extra
+                )
+
+            raise SystemExit(run_supervised(make_cmd, args.max_restarts))
+
         from .config import train_config_from_overrides
         from .parallel import initialize_distributed
         from .train import train
@@ -161,6 +213,7 @@ def main() -> None:
             drift_eps=args.drift_eps,
             ema_decay=args.ema_decay,
             device_dataset=args.device_dataset,
+            stall_timeout_s=args.stall_timeout,
         )
         ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
         with ctx:

@@ -128,6 +128,12 @@ class TrainConfig:
     # enables it for single-host single-device runs whose corpus fits
     # device_dataset_budget_bytes; implies the in-graph input pipeline.
     device_dataset_budget_bytes: int = 4 << 30
+    stall_timeout_s: float = 0.0     # >0 enables the device-stall watchdog
+    # (utils/watchdog.py): if no metric fetch / checkpoint completes for
+    # this long, the process exits 75 (EX_TEMPFAIL) so a supervisor
+    # (`train --max-restarts`, utils/supervise.py) can restart from the
+    # latest checkpoint.  Must exceed log_every x step-time PLUS one cold
+    # stage compile; the CLI uses 900 s.  0 keeps library calls exempt.
 
 
 @dataclasses.dataclass(frozen=True)

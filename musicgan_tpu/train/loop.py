@@ -102,6 +102,17 @@ def train(
     lead = jax.process_index() == 0
     logger = MetricLogger(output_dir, train_cfg.metric_window) if lead else None
 
+    # Failure detection (SURVEY §5): a wedged device dispatch never
+    # returns (PJRT gives Python no cancellation), so progress is
+    # witnessed through real device->host fetches — metric
+    # materialization and checkpoint writes — and their absence past the
+    # timeout exits 75 for a supervised restart (utils/watchdog.py).
+    # Lead-only: followers fetch nothing on a log cadence; they surface
+    # failures through the collective ops erroring once the lead dies.
+    from ..utils.watchdog import StallWatchdog
+
+    watchdog = StallWatchdog(train_cfg.stall_timeout_s if lead else 0.0)
+
     start_epoch = 0
     if resume:
         latest = saver.ckpt.latest()
@@ -182,6 +193,7 @@ def train(
         host_m = {
             k: float(v if row_idx is None else v[row_idx]) for k, v in m.items()
         }
+        watchdog.beat()  # the float()s above materialized device results
         if not m_gen:
             host_m.pop("gen_loss", None)
             host_m.pop("e_gen", None)
@@ -211,7 +223,8 @@ def train(
         """Bookkeeping after each iteration: save cadence, counters, growth
         (reference train.py:248-272 order)."""
         nonlocal iter_idx, done
-        saver.request_save(state, stage, alpha, meta=meta_dict(epoch))
+        if saver.request_save(state, stage, alpha, meta=meta_dict(epoch)):
+            watchdog.beat()  # checkpoint write materialized device state
         iter_idx += 1
         if max_iters is not None and iter_idx >= max_iters:
             done = True
@@ -304,9 +317,15 @@ def train(
     chunk_n = max(1, train_cfg.chunk_steps)
     buf: list = []
 
-    for epoch in range(start_epoch, train_cfg.nb_epoch):
-        if done:
-            break
+    def run_epochs():
+        nonlocal buf, data_dev
+        for epoch in range(start_epoch, train_cfg.nb_epoch):
+            if done:
+                break
+            run_one_epoch(epoch)
+
+    def run_one_epoch(epoch):
+        nonlocal buf, data_dev
         # Streaming ingest: pick up shards a concurrent create_dataset has
         # appended since the last epoch.  Single-process only — multi-host
         # batch composition derives from len(dataset), and hosts must not
@@ -365,6 +384,10 @@ def train(
         while buf and not done:
             run_single(epoch, buf.pop(0))
 
-    if logger is not None:
-        logger.close()
+    try:
+        run_epochs()
+    finally:
+        watchdog.close()
+        if logger is not None:
+            logger.close()
     return state

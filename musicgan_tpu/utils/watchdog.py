@@ -1,0 +1,133 @@
+"""Device-stall failure detection (SURVEY.md §5: failure detection).
+
+A lost accelerator connection — preempted TPU host, dead tunnel, wedged
+device server — leaves the dispatching thread blocked inside PJRT
+forever: JAX gives Python no way to cancel or time-bound a pending
+execution, so the train loop just stops making progress with ~0% CPU.
+(Observed live on this project's TPU tunnel: a full-schedule quality
+run's dispatch at iter 91,600 never returned and the process sat in a
+futex wait for over an hour — VALIDATION.md r3.)
+
+The standard large-scale recovery is crash-and-resume: *detect* the
+stall, exit with a retryable status, and let a supervisor restart the
+job from its latest checkpoint (training here checkpoints every
+``save_every`` iterations and resumes exactly — tests/test_train.py).
+This module is the detector; :func:`musicgan_tpu.utils.supervise.
+run_supervised` is the supervisor; exit code ``EXIT_STALLED`` (75,
+BSD ``EX_TEMPFAIL``) is the contract between them.
+
+The train loop calls :meth:`StallWatchdog.beat` at every point where it
+has *evidence of device progress* — after metric fetches and checkpoint
+writes, i.e. real device->host materializations.  Dispatch enqueues are
+async and would beat even against a dead device, so they don't count.
+The timeout must therefore exceed the worst honest beat interval:
+``log_every`` x step-time plus one cold stage compile (minutes through a
+remote-compile tunnel) — the 900 s default used by the CLI covers both
+with margin while still detecting a wedge ~5x faster than a human
+watching a quiet log.
+"""
+
+from __future__ import annotations
+
+import faulthandler
+import os
+import sys
+import threading
+import time
+
+__all__ = ["EXIT_STALLED", "StallWatchdog"]
+
+# BSD sysexits EX_TEMPFAIL: "temporary failure, retry is reasonable".
+EXIT_STALLED = 75
+
+
+class StallWatchdog:
+    """Daemon-thread stall detector.  ``timeout_s <= 0`` disables it
+    entirely (no thread is started; ``beat``/``close`` are no-ops).
+
+    Starts DISARMED: the clock only runs after the first ``beat()``
+    (arming at construction would count process startup — device claim,
+    corpus upload, first compile — against the steady-state timeout).
+
+    On expiry it dumps all thread stacks (so the wedged PJRT frame is
+    visible in the log) and ``os._exit``\\ s with :data:`EXIT_STALLED`.
+    ``os._exit`` rather than an exception on purpose: the stalled thread
+    is *blocked in C* and will never see a Python exception; only the
+    process dying releases the device claim so a restart can reclaim it.
+    """
+
+    def __init__(
+        self,
+        timeout_s: float,
+        poll_s: float = 5.0,
+        _exit=os._exit,  # injectable for tests
+        _stream=None,
+    ):
+        self.timeout_s = float(timeout_s)
+        self._poll_s = min(poll_s, max(0.01, self.timeout_s / 4 or poll_s))
+        self._exit = _exit
+        self._stream = _stream  # default sys.stderr, resolved at fire time
+        self._last: float | None = None  # None = disarmed
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        if self.timeout_s > 0:
+            self._thread = threading.Thread(
+                target=self._watch, name="musicgan-stall-watchdog", daemon=True
+            )
+            self._thread.start()
+
+    # -- train-loop surface -------------------------------------------------
+    def beat(self) -> None:
+        """Record evidence of device progress (arms the clock)."""
+        if self._thread is None:
+            return
+        with self._lock:
+            self._last = time.monotonic()
+
+    def disarm(self) -> None:
+        """Stop the clock without stopping the thread (e.g. around a
+        deliberately long host-only phase)."""
+        with self._lock:
+            self._last = None
+
+    def close(self) -> None:
+        """Shut the detector down (end of training)."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2 * self._poll_s)
+            self._thread = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- detector -----------------------------------------------------------
+    def _watch(self) -> None:
+        while not self._stop.wait(self._poll_s):
+            with self._lock:
+                last = self._last
+            if last is None:
+                continue
+            age = time.monotonic() - last
+            if age > self.timeout_s:
+                stream = self._stream or sys.stderr
+                print(
+                    f"[watchdog] no device progress for {age:.0f}s "
+                    f"(timeout {self.timeout_s:.0f}s) — assuming a wedged "
+                    f"accelerator dispatch; exiting {EXIT_STALLED} for "
+                    "supervised restart from the latest checkpoint. "
+                    "Thread stacks follow.",
+                    file=stream,
+                    flush=True,
+                )
+                try:
+                    faulthandler.dump_traceback(file=stream)
+                    stream.flush()
+                except Exception:
+                    pass
+                self._exit(EXIT_STALLED)
+                return  # only reached with an injected _exit (tests)

@@ -40,6 +40,9 @@ def main() -> None:
                          "corpus needs ~8 GB; the v5e has 16)")
     ap.add_argument("--run-name", type=str, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--stall-timeout", type=float, default=900.0,
+                    help="device-stall watchdog (exit 75 for a supervised "
+                         "--resume relaunch); 0 disables")
     args = ap.parse_args()
 
     from musicgan_tpu.config import TrainConfig
@@ -59,6 +62,7 @@ def main() -> None:
         drift_eps=args.drift_eps,
         ema_decay=args.ema_decay,
         device_dataset_budget_bytes=int(args.device_budget_gb * 2**30),
+        stall_timeout_s=args.stall_timeout,
         nb_epoch=100000,  # schedule-bounded, not epoch-bounded
     )
     if args.chunk_steps is not None:
