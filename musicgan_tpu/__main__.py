@@ -225,6 +225,14 @@ def main() -> None:
                 resume=args.resume,
                 max_iters=args.max_iters,
             )
+        from .train.loop import PREEMPTED
+        from .utils.watchdog import EXIT_STALLED
+
+        if PREEMPTED.is_set():
+            # SIGTERM/SIGUSR1 preemption: the loop flushed a checkpoint
+            # and stopped early — exit EX_TEMPFAIL so schedulers (and
+            # --max-restarts supervision) treat this run as retryable.
+            raise SystemExit(EXIT_STALLED)
 
     elif args.mode == "generate":
         from .generate import generate

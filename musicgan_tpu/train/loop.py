@@ -16,6 +16,9 @@ TPU-native re-design of reference ``train.py:18-278``:
 from __future__ import annotations
 
 import dataclasses
+import itertools
+import signal
+import threading
 import time
 from typing import Optional
 
@@ -31,7 +34,43 @@ from .grower import Grower
 from .saver import Saver
 from .step import TrainState, build_chunk_step, build_step, init_train_state
 
-__all__ = ["train"]
+__all__ = ["train", "PREEMPTED"]
+
+# Preemption-aware checkpointing (SURVEY §5: failure recovery).  TPU pods
+# announce maintenance/preemption with a signal and a grace window; the
+# production pattern is: catch it, flush a checkpoint at the next iteration
+# boundary, exit retryable, and let the scheduler resume elsewhere.  The
+# train loop polls this event once per iteration; the CLI exits
+# ``EXIT_STALLED`` (75, EX_TEMPFAIL — the same retry contract the stall
+# watchdog uses) when it is set after ``train`` returns.
+PREEMPTED = threading.Event()
+_PREEMPT_SIGNALS = (signal.SIGTERM, signal.SIGUSR1)
+
+
+def _install_preemption_handlers():
+    """Arm SIGTERM/SIGUSR1 -> PREEMPTED for the duration of a run.
+
+    Returns the previous handlers for restoration (``None`` when not on
+    the main thread, where CPython forbids ``signal.signal``)."""
+    if threading.current_thread() is not threading.main_thread():
+        return None
+    PREEMPTED.clear()
+
+    def _on_signal(signum, frame):
+        PREEMPTED.set()
+        print(
+            f"[preempt] caught {signal.Signals(signum).name}; will "
+            "checkpoint at the next iteration boundary and stop",
+            flush=True,
+        )
+
+    return {s: signal.signal(s, _on_signal) for s in _PREEMPT_SIGNALS}
+
+
+def _restore_preemption_handlers(prev) -> None:
+    if prev is not None:
+        for s, h in prev.items():
+            signal.signal(s, h)
 
 
 def train(
@@ -112,8 +151,17 @@ def train(
     from ..utils.watchdog import StallWatchdog
 
     watchdog = StallWatchdog(train_cfg.stall_timeout_s if lead else 0.0)
+    preempted = PREEMPTED
+    _prev_sig = _install_preemption_handlers()
 
     start_epoch = 0
+    # Bit-exact resume: the checkpoint records how many batches of the
+    # interrupted epoch were consumed, so the resumed run replays the
+    # remainder of that epoch's (seed+epoch)-deterministic order instead
+    # of restarting it.  With a static corpus the resumed run is then
+    # numerically identical to an uninterrupted one (tested); a corpus
+    # still growing via streaming ingest naturally re-shuffles.
+    resume_skip_batches = 0
     if resume:
         latest = saver.ckpt.latest()
         if latest is not None:
@@ -122,10 +170,16 @@ def train(
             saver.counter = int(meta["saver_counter"])
             saver.curr_save = latest + 1
             start_epoch = int(meta.get("epoch", 0))
+            resume_skip_batches = int(meta.get("epoch_batch_pos", 0))
             if lead:
                 print(
                     f"[resume] save_{latest}: iter={int(state.iter_idx)} "
                     f"stage={grower.curr_grow} epoch={start_epoch}"
+                    + (
+                        f" (+{resume_skip_batches} batches into the epoch)"
+                        if resume_skip_batches
+                        else ""
+                    )
                 )
 
     max_stage = (
@@ -177,6 +231,7 @@ def train(
     host_id = jax.process_index()
     num_hosts = jax.process_count()
     iter_idx = int(state.iter_idx)
+    epoch_batch_pos = resume_skip_batches  # batches consumed of the current epoch
     t_start = time.perf_counter()
     done = False
 
@@ -214,18 +269,34 @@ def train(
         return {
             "grower": grower.state_dict(),
             "epoch": epoch,
+            "epoch_batch_pos": epoch_batch_pos,
             "iter_idx": iter_idx + 1,
             "run_name": run_name,
             "train_cfg": dataclasses.asdict(train_cfg),
         }
 
-    def post_iteration(epoch, stage, alpha):
+    def post_iteration(epoch, stage, alpha, at_boundary=True):
         """Bookkeeping after each iteration: save cadence, counters, growth
-        (reference train.py:248-272 order)."""
-        nonlocal iter_idx, done
+        (reference train.py:248-272 order).
+
+        ``at_boundary`` is False for all but the last iteration of a
+        chunked dispatch: ``state`` already reflects the whole chunk, so a
+        preemption flush mid-chunk would checkpoint meta (iter_idx,
+        grower) that lags the device state — the flush waits for the
+        chunk's final bookkeeping call."""
+        nonlocal iter_idx, done, epoch_batch_pos
+        epoch_batch_pos += 1  # this iteration's batch is now consumed
         if saver.request_save(state, stage, alpha, meta=meta_dict(epoch)):
             watchdog.beat()  # checkpoint write materialized device state
+        elif at_boundary and preempted.is_set():
+            # Preemption warning (SIGTERM/SIGUSR1): flush a checkpoint at
+            # this iteration boundary even off the save cadence, so the
+            # relaunch loses zero iterations.
+            saver.save_now(state, stage, alpha, meta=meta_dict(epoch))
         iter_idx += 1
+        if at_boundary and preempted.is_set():
+            done = True
+            return
         if max_iters is not None and iter_idx >= max_iters:
             done = True
             return
@@ -310,7 +381,9 @@ def train(
                     epoch, base_iter + i, stage, mstack,
                     bool(gen_mask[i]), float(alphas[i]), row_idx=i,
                 )
-            post_iteration(epoch, stage, float(alphas[i]))
+            post_iteration(
+                epoch, stage, float(alphas[i]), at_boundary=(i == k - 1)
+            )
             if done:
                 break
 
@@ -325,7 +398,12 @@ def train(
             run_one_epoch(epoch)
 
     def run_one_epoch(epoch):
-        nonlocal buf, data_dev
+        nonlocal buf, data_dev, epoch_batch_pos, resume_skip_batches
+        # Bit-exact resume: fast-forward the resumed epoch's deterministic
+        # (seed+epoch) order past the batches the interrupted run consumed.
+        skip = resume_skip_batches if epoch == start_epoch else 0
+        resume_skip_batches = 0
+        epoch_batch_pos = skip
         # Streaming ingest: pick up shards a concurrent create_dataset has
         # appended since the last epoch.  Single-process only — multi-host
         # batch composition derives from len(dataset), and hosts must not
@@ -366,6 +444,8 @@ def train(
                 num_hosts=num_hosts,
             )
         )
+        if skip:
+            epoch_batches = itertools.islice(epoch_batches, skip, None)
         for x_raw in epoch_batches:
             if chunk_n == 1:
                 run_single(epoch, x_raw)
@@ -388,6 +468,13 @@ def train(
         run_epochs()
     finally:
         watchdog.close()
+        _restore_preemption_handlers(_prev_sig)
         if logger is not None:
             logger.close()
+    if preempted.is_set() and lead:
+        print(
+            f"[preempt] stopped at iter {iter_idx} with a flushed "
+            "checkpoint; exit retryable and resume with --resume",
+            flush=True,
+        )
     return state

@@ -104,6 +104,21 @@ class Saver:
         self.curr_save += 1
         return True
 
+    def save_now(
+        self, state: TrainState, stage: int, alpha: float, meta: dict
+    ) -> None:
+        """Off-cadence checkpoint flush (preemption): same artifact as a
+        cadence save; the cadence counter is untouched, so the next
+        periodic save still fires on schedule."""
+        self.ckpt.save(
+            self.curr_save,
+            state,
+            {**meta, "saver_counter": self.counter, "save_idx": self.curr_save},
+        )
+        if jax.process_index() == 0:
+            self._save_previews(state, stage, alpha)
+        self.curr_save += 1
+
     @property
     def save_counter(self) -> int:
         return self.counter % self.cfg.save_every

@@ -529,3 +529,115 @@ def test_device_dataset_budget_guard_on_refresh(tmp_path, monkeypatch, capsys):
     text = capsys.readouterr().out
     assert "grew to 8 samples" in text
     assert "keeping the resident" in text
+
+
+# ------------------------------------------- preemption / bit-exact resume ---
+
+def test_preemption_signal_sets_event():
+    """SIGTERM/SIGUSR1 arm the PREEMPTED event while handlers are
+    installed; prior handlers are restored afterwards."""
+    import signal
+
+    from musicgan_tpu.train import loop as L
+
+    prev = L._install_preemption_handlers()
+    try:
+        assert not L.PREEMPTED.is_set()
+        signal.raise_signal(signal.SIGUSR1)
+        assert L.PREEMPTED.is_set()
+    finally:
+        L.PREEMPTED.clear()
+        L._restore_preemption_handlers(prev)
+    assert signal.getsignal(signal.SIGUSR1) is not None
+
+
+def test_preemption_flushes_checkpoint_and_resume_is_bit_exact(
+    tmp_path, monkeypatch
+):
+    """A pending preemption stops training after ONE iteration with an
+    off-cadence checkpoint flush; --resume then replays the remainder of
+    the interrupted epoch's deterministic order, so the resumed run is
+    numerically identical to an uninterrupted one."""
+    from musicgan_tpu.train import loop as L
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path)
+    cfg = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=100, log_every=100, nb_preview=1,
+        chunk_steps=1,
+    )
+    s_ctrl = train(
+        "ctrl", ds, str(tmp_path / "ctrl"), cfg, TINY_CFG, max_iters=5,
+        mesh=None,
+    )
+
+    out = str(tmp_path / "out")
+    # Simulate the signal landing before the first iteration boundary.
+    monkeypatch.setattr(L, "_install_preemption_handlers", lambda: None)
+    L.PREEMPTED.set()
+    try:
+        s1 = train("t", ds, out, cfg, TINY_CFG, max_iters=5, mesh=None)
+    finally:
+        L.PREEMPTED.clear()
+    monkeypatch.undo()
+    assert int(s1.iter_idx) == 1
+    ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
+    assert ckpt.latest() == 0  # flushed despite save_every=100
+    import json
+    with open(os.path.join(out, "checkpoints", "save_0", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch_batch_pos"] == 1 and meta["iter_idx"] == 1
+
+    s2 = train("t", ds, out, cfg, TINY_CFG, resume=True, max_iters=5,
+               mesh=None)
+    assert int(s2.iter_idx) == 5
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_ctrl), jax.tree_util.tree_leaves(s2)
+    ):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_preemption_mid_chunk_defers_flush_to_chunk_end(
+    tmp_path, monkeypatch
+):
+    """With chunked dispatch, the device state already reflects the whole
+    chunk when the signal is observed — the flush must happen at the
+    chunk's LAST bookkeeping call so checkpoint meta (iter/grower/epoch
+    cursor) matches the saved state.  Resume stays bit-exact."""
+    from musicgan_tpu.train import loop as L
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path, n=32)  # 4 batches/epoch at batch 8
+    cfg = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=100, log_every=100, nb_preview=1,
+        chunk_steps=3,
+    )
+    s_ctrl = train(
+        "ctrl", ds, str(tmp_path / "ctrl"), cfg, TINY_CFG, max_iters=6,
+        mesh=None,
+    )
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(L, "_install_preemption_handlers", lambda: None)
+    L.PREEMPTED.set()
+    try:
+        s1 = train("t", ds, out, cfg, TINY_CFG, max_iters=6, mesh=None)
+    finally:
+        L.PREEMPTED.clear()
+    monkeypatch.undo()
+    # the first 3-iteration chunk completes, then flush+stop
+    assert int(s1.iter_idx) == 3
+    ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
+    assert ckpt.latest() == 0
+    import json
+    with open(os.path.join(out, "checkpoints", "save_0", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch_batch_pos"] == 3 and meta["iter_idx"] == 3
+
+    s2 = train("t", ds, out, cfg, TINY_CFG, resume=True, max_iters=6,
+               mesh=None)
+    assert int(s2.iter_idx) == 6
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_ctrl), jax.tree_util.tree_leaves(s2)
+    ):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
