@@ -25,7 +25,12 @@ def main() -> None:
     p.add_argument("-w", "--num-workers", type=int, default=None)
     p.add_argument("--samples-per-shard", type=int, default=128)
 
-    p = sub.add_parser("train", help="progressive WGAN-GP training")
+    # allow_abbrev=False: the supervisor re-invokes this command minus the
+    # exact '--max-restarts' token; an abbreviated spelling (--max-restart)
+    # would survive the strip and nest supervisors recursively.
+    p = sub.add_parser(
+        "train", help="progressive WGAN-GP training", allow_abbrev=False
+    )
     p.add_argument("run", type=str, metavar="RUN_NAME")
     p.add_argument("-o", "--out-path", dest="out_path", type=str, required=True)
     p.add_argument("-i", "--input-dataset", dest="input_dataset", type=str,

@@ -128,17 +128,24 @@ class SpectrogramDataset:
 
 
 def batch_indices(
-    dataset_len: int, batch_size: int, seed: int, drop_last: bool = True
+    dataset_len: int,
+    batch_size: int,
+    seed: int,
+    drop_last: bool = True,
+    skip: int = 0,
 ) -> Iterator[np.ndarray]:
     """One epoch of shuffled index batches (the device-resident dataset
-    mode ships these instead of sample data; single-host)."""
+    mode ships these instead of sample data; single-host).
+
+    ``skip`` drops the first N batches of the epoch's deterministic order
+    without yielding them (bit-exact resume fast-forward)."""
     perm = np.random.default_rng(seed).permutation(dataset_len)
     n = (
         len(perm) // batch_size
         if drop_last
         else -(-len(perm) // batch_size)
     )
-    for b in range(n):
+    for b in range(skip, n):
         yield perm[b * batch_size : (b + 1) * batch_size].astype(np.int32)
 
 
@@ -150,8 +157,13 @@ def batch_iterator(
     num_hosts: int = 1,
     drop_last: bool = True,
     prefetch: int = 2,
+    skip: int = 0,
 ) -> Iterator[np.ndarray]:
     """One epoch of shuffled, host-sharded, prefetched batches.
+
+    ``skip`` drops the first N batches at the *index* level — the skipped
+    batches' sample data is never read from disk (a resume fast-forward
+    deep into a long epoch costs no IO).
 
     The global permutation is seeded identically on every host.  Each host
     takes a contiguous ``batch_size`` block of every global batch, so the
@@ -189,7 +201,7 @@ def batch_iterator(
 
     def produce(q: queue.Queue):
         try:
-            for b in range(n_batches):
+            for b in range(skip, n_batches):
                 idx = local[b * batch_size : (b + 1) * batch_size]
                 if not put(q, dataset.gather(idx)):
                     return

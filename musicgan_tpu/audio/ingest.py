@@ -342,7 +342,12 @@ def create_dataset(
             # re-executes unguarded caller scripts.  Workers only need this
             # module (the pool pickles _worker by reference), so preload it
             # instead — create_dataset then works from any script, guarded
-            # or not.
+            # or not.  Honest cost note: importing this module pulls the
+            # parent package (and so the jax *import*, once, into the
+            # forkserver; workers fork from it with modules warm) — but a
+            # jax import is not a runtime: no backend/device is ever
+            # initialized in the forkserver or workers, whose compute is
+            # the numpy/scipy/native tail.
             ctx.set_forkserver_preload(["musicgan_tpu.audio.ingest"])
         pool = ctx.Pool(num_workers)
         iterator = pool.imap(_worker, files)

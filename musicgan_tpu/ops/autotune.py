@@ -185,9 +185,13 @@ def measure_train_impls(
     rtt = (time.perf_counter() - t0) / 3
 
     init_cfg = dataclasses.replace(model_cfg, conv_impl="xla")
+    # Single-device measurement proxy: time the PER-DEVICE slice of the
+    # global batch.  A sharded run never materializes the global batch on
+    # one chip — measuring it here would OOM at large stages and mis-rank.
+    local_batch = max(1, train_cfg.batch_size // jax.device_count())
     x = jax.random.normal(
         jax.random.PRNGKey(1),
-        (k, train_cfg.batch_size, 2, size, size),
+        (k, local_batch, 2, size, size),
         jnp.float32,
     )
     alphas = jnp.ones((k,), jnp.float32)
@@ -273,6 +277,20 @@ def resolve_conv_impl(
                 f"conv_impl={cfg.conv_impl!r} is inference-only (no VJP); "
                 f"use one of {TRAINING_IMPLS} or 'auto' for training"
             )
+        if (
+            for_training
+            and train_cfg is not None
+            and train_cfg.compute_dtype != "float32"
+            and cfg.conv_impl not in SECOND_ORDER_IMPLS
+        ):
+            # The NCHW Pallas train paths are f32 kernels that ignore
+            # compute_dtype — honoring this combination would silently
+            # train in full f32 under a bf16-labelled run.
+            raise ValueError(
+                f"conv_impl={cfg.conv_impl!r} trains in float32 only; with "
+                f"compute_dtype={train_cfg.compute_dtype!r} use one of "
+                f"{SECOND_ORDER_IMPLS} or 'auto'"
+            )
         return cfg
 
     backend = jax.default_backend()
@@ -285,25 +303,44 @@ def resolve_conv_impl(
         backend, z_shape, stage, for_training, train_cfg
     )
     if key not in _CACHE:
-        persisted = _load_persisted()
-        if key in persisted:
-            _CACHE[key] = persisted[key]
-        else:
-            if for_training and train_cfg is not None:
-                times = measure_train_impls(cfg, train_cfg, stage, candidates)
-                label = "train conv_impl"
+        num_procs = jax.process_count()
+        winner = None
+        if num_procs == 1 or jax.process_index() == 0:
+            persisted = _load_persisted()
+            if key in persisted:
+                winner = persisted[key]
             else:
-                times = measure_conv_impls(cfg, z_shape, stage, candidates)
-                label = "conv_impl"
-            winner = min(times, key=times.get)
-            print(
-                f"[autotune] {label} -> "
-                + winner
-                + "  ("
-                + ", ".join(f"{k}={v * 1e3:.2f}ms" for k, v in times.items())
-                + ")"
+                if for_training and train_cfg is not None:
+                    times = measure_train_impls(
+                        cfg, train_cfg, stage, candidates
+                    )
+                    label = "train conv_impl"
+                else:
+                    times = measure_conv_impls(cfg, z_shape, stage, candidates)
+                    label = "conv_impl"
+                winner = min(times, key=times.get)
+                print(
+                    f"[autotune] {label} -> "
+                    + winner
+                    + "  ("
+                    + ", ".join(
+                        f"{k}={v * 1e3:.2f}ms" for k, v in times.items()
+                    )
+                    + ")"
+                )
+                persisted[key] = winner
+                _persist(persisted)
+        if num_procs > 1:
+            # Timing noise must never let hosts pick different winners:
+            # the same jitted step would compile different SPMD programs
+            # on different processes and hang on mismatched collectives.
+            # The lead measures; every process adopts its choice.
+            from jax.experimental import multihost_utils
+
+            idx = candidates.index(winner) if winner in candidates else 0
+            idx = int(
+                multihost_utils.broadcast_one_to_all(np.asarray(idx, np.int32))
             )
-            _CACHE[key] = winner
-            persisted[key] = winner
-            _persist(persisted)
+            winner = candidates[idx]
+        _CACHE[key] = winner
     return dataclasses.replace(cfg, conv_impl=_CACHE[key])

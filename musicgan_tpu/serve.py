@@ -343,6 +343,12 @@ def _make_handler(service: SynthesisService):
                 self._json(404, {"error": f"unknown path {path}"})
 
         def do_POST(self):
+            # Drain any request body first: under HTTP/1.1 keep-alive an
+            # unread body would be parsed as the NEXT request line on the
+            # reused connection, 400-ing every subsequent pooled request.
+            blen = int(self.headers.get("Content-Length") or 0)
+            while blen > 0:
+                blen -= len(self.rfile.read(min(blen, 1 << 16)) or b"\0")
             url = urlparse(self.path)
             if url.path != "/synthesize":
                 self._json(404, {"error": f"unknown path {url.path}"})
@@ -359,14 +365,20 @@ def _make_handler(service: SynthesisService):
                     stage=arg("stage", None) if "stage" in q else None,
                 )
                 wave = fut.result(timeout=600)
+                if arg("stream", 0):
+                    # the first-segment fetch happens before any headers
+                    # are sent, so device errors still yield a JSON 400
+                    self._stream_wav(wave)
+                    return
+                # futures resolve to device-resident arrays; the fetch is
+                # where XLA runtime errors (OOM, lost device) surface —
+                # keep it inside the guard so clients get the JSON error,
+                # not a reset socket.
+                body = _wav_bytes(np.asarray(wave, np.float32),
+                                  service.audio_cfg.sample_rate)
             except Exception as e:
                 self._json(400, {"error": repr(e)})
                 return
-            if arg("stream", 0):
-                self._stream_wav(wave)
-                return
-            body = _wav_bytes(np.asarray(wave, np.float32),
-                              service.audio_cfg.sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(body)))
@@ -380,6 +392,10 @@ def _make_handler(service: SynthesisService):
             On tunnel-bound deployments this moves time-to-first-byte from
             'after the full fetch' to 'after the first segment'."""
             n = int(wave.shape[0])
+            seg = 262_144  # 1 MiB of float32 per segment
+            # Fetch the first segment BEFORE committing to a 200: device
+            # errors propagate to do_POST's guard as a JSON 400.
+            first = np.asarray(wave[:seg], np.float32)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
@@ -391,11 +407,18 @@ def _make_handler(service: SynthesisService):
                 self.wfile.write(b"\r\n")
 
             chunk(_wav_header(n, service.audio_cfg.sample_rate))
-            seg = 262_144  # 1 MiB of float32 per segment
-            for a in range(0, n, seg):
-                piece = np.asarray(wave[a : a + seg], np.float32)
-                chunk(piece.tobytes())
-            self.wfile.write(b"0\r\n\r\n")
+            chunk(first.tobytes())
+            try:
+                for a in range(seg, n, seg):
+                    piece = np.asarray(wave[a : a + seg], np.float32)
+                    chunk(piece.tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception as e:  # mid-stream device/socket failure:
+                # headers are out — a JSON error would corrupt the chunked
+                # body.  Drop the connection; the missing terminating
+                # chunk tells the client the body is truncated.
+                print(f"[serve] stream aborted: {e!r}", flush=True)
+                self.close_connection = True
 
     return Handler
 

@@ -16,7 +16,6 @@ TPU-native re-design of reference ``train.py:18-278``:
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import signal
 import threading
 import time
@@ -52,9 +51,11 @@ def _install_preemption_handlers():
 
     Returns the previous handlers for restoration (``None`` when not on
     the main thread, where CPython forbids ``signal.signal``)."""
+    PREEMPTED.clear()  # a stale flag from an earlier run must not stop
+    # this one — cleared even off the main thread, where no handlers can
+    # be installed (CPython restricts signal.signal to the main thread).
     if threading.current_thread() is not threading.main_thread():
         return None
-    PREEMPTED.clear()
 
     def _on_signal(signum, frame):
         PREEMPTED.set()
@@ -166,6 +167,18 @@ def train(
         latest = saver.ckpt.latest()
         if latest is not None:
             state, meta = saver.ckpt.restore(latest, state)
+            if train_cfg.ema_decay == 0 and state.gen_ema is not None:
+                # Resumed WITHOUT --ema-decay from an EMA-carrying run: a
+                # kept-but-never-updated EMA would silently freeze every
+                # later preview/generate/export at the resume point
+                # (eval prefers gen_ema when present) — drop it instead.
+                if lead:
+                    print(
+                        "[resume] checkpoint carries generator EMA but "
+                        "ema_decay=0; discarding it (pass --ema-decay to "
+                        "keep updating it)"
+                    )
+                state = state._replace(gen_ema=None)
             grower.load_state_dict(meta["grower"])
             saver.counter = int(meta["saver_counter"])
             saver.curr_save = latest + 1
@@ -275,6 +288,27 @@ def train(
             "train_cfg": dataclasses.asdict(train_cfg),
         }
 
+    def preempt_agreed() -> bool:
+        """Collective preemption decision.  Signals land on different
+        hosts at different times, while both the flush (orbax save) and
+        the early loop exit are collective — every host must observe the
+        same decision at the same iteration boundary, or the pod
+        deadlocks on mismatched collectives.  Multi-host: a bool
+        all-gather (every host calls this at the same deterministic
+        boundaries, so the collective always matches up); any host's
+        signal preempts the whole run."""
+        if num_hosts == 1:
+            return preempted.is_set()
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(preempted.is_set())
+        )
+        if bool(np.any(flags)):
+            preempted.set()  # consistent exit-75 on every host
+            return True
+        return False
+
     def post_iteration(epoch, stage, alpha, at_boundary=True):
         """Bookkeeping after each iteration: save cadence, counters, growth
         (reference train.py:248-272 order).
@@ -286,15 +320,16 @@ def train(
         chunk's final bookkeeping call."""
         nonlocal iter_idx, done, epoch_batch_pos
         epoch_batch_pos += 1  # this iteration's batch is now consumed
+        stopping = at_boundary and preempt_agreed()
         if saver.request_save(state, stage, alpha, meta=meta_dict(epoch)):
             watchdog.beat()  # checkpoint write materialized device state
-        elif at_boundary and preempted.is_set():
+        elif stopping:
             # Preemption warning (SIGTERM/SIGUSR1): flush a checkpoint at
             # this iteration boundary even off the save cadence, so the
             # relaunch loses zero iterations.
             saver.save_now(state, stage, alpha, meta=meta_dict(epoch))
         iter_idx += 1
-        if at_boundary and preempted.is_set():
+        if stopping:
             done = True
             return
         if max_iters is not None and iter_idx >= max_iters:
@@ -434,6 +469,7 @@ def train(
                 int(data_dev.shape[0]),
                 train_cfg.batch_size,
                 seed=train_cfg.seed + epoch,
+                skip=skip,  # index-level: no data touched for skipped batches
             )
             if use_dev_data
             else batch_iterator(
@@ -442,10 +478,9 @@ def train(
                 seed=train_cfg.seed + epoch,
                 host_id=host_id,
                 num_hosts=num_hosts,
+                skip=skip,
             )
         )
-        if skip:
-            epoch_batches = itertools.islice(epoch_batches, skip, None)
         for x_raw in epoch_batches:
             if chunk_n == 1:
                 run_single(epoch, x_raw)

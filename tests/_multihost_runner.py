@@ -7,7 +7,12 @@ executing the real multi-host paths: ``initialize_distributed``
 ``jax.make_array_from_process_local_data`` batch assembly (train/loop.py),
 and the collective orbax checkpoint with lead-only meta/preview/CSV writes.
 
-Usage: python _multihost_runner.py COORD PID DATASET_DIR OUT_DIR
+Usage: python _multihost_runner.py COORD PID DATASET_DIR OUT_DIR [MODE]
+
+MODE "train" (default): 4 iterations to a cadence checkpoint.
+MODE "preempt": a long run with an unreachable save cadence; the parent
+test SIGUSR1s ONE process mid-run and both must agree collectively,
+flush one off-cadence checkpoint together, and exit cleanly.
 """
 
 import sys
@@ -17,6 +22,7 @@ def main() -> None:
     coord, pid, ds, out = (
         sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
 
     import jax
 
@@ -49,6 +55,24 @@ def main() -> None:
     )
     assert jax.process_count() == 2
     assert len(jax.devices()) == 4
+
+    if mode == "preempt":
+        cfg = TrainConfig(
+            batch_size=8, save_every=10**6, log_every=1, nb_preview=1,
+            chunk_steps=1, seed=0,
+        )
+        state = train("mh", ds, out, cfg, TINY_MODEL, max_iters=10**6)
+        from musicgan_tpu.train.loop import PREEMPTED
+
+        # the collective agreement must have propagated the one-process
+        # signal to EVERY process before the loop stopped
+        assert PREEMPTED.is_set(), "non-signaled process stopped w/o flag"
+        print(
+            f"[runner] process {pid} preempted at iter "
+            f"{int(state.iter_idx)} OK",
+            flush=True,
+        )
+        return
 
     cfg = TrainConfig(
         batch_size=8, save_every=4, log_every=2, nb_preview=1,

@@ -1,0 +1,53 @@
+"""Batch-iterator order semantics (resume fast-forward skip)."""
+
+import numpy as np
+
+from musicgan_tpu.audio.dataset import (
+    SpectrogramDataset,
+    batch_indices,
+    batch_iterator,
+)
+from musicgan_tpu.audio.ingest import ShardWriter
+
+
+def _write_ds(tmp_path, n=20):
+    w = ShardWriter(str(tmp_path / "ds"), samples_per_shard=8)
+    rng = np.random.default_rng(0)
+    w.add(rng.uniform(-1, 1, (n, 2, 8, 8)).astype(np.float32))
+    w.close()
+    return str(tmp_path / "ds")
+
+
+def test_batch_skip_matches_full_order(tmp_path):
+    """skip=N yields exactly the full epoch order minus its first N
+    batches — for both the index-level and data-loading iterators (the
+    latter must skip at the *index* level: no sample IO for skipped
+    batches)."""
+    full = list(batch_indices(37, 5, seed=3))
+    skipped = list(batch_indices(37, 5, seed=3, skip=4))
+    assert len(skipped) == len(full) - 4
+    for a, b in zip(full[4:], skipped):
+        np.testing.assert_array_equal(a, b)
+
+    ds = SpectrogramDataset(_write_ds(tmp_path))
+    full_b = list(batch_iterator(ds, 4, seed=1))
+    skip_b = list(batch_iterator(ds, 4, seed=1, skip=2))
+    assert len(skip_b) == len(full_b) - 2
+    for a, b in zip(full_b[2:], skip_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_batch_skip_never_touches_skipped_data(tmp_path, monkeypatch):
+    """The fast-forward drops permutation indices before data loading: a
+    50k-batch skip must not cost hours of discarded memmap reads."""
+    ds = SpectrogramDataset(_write_ds(tmp_path))
+    gathered = []
+    orig = SpectrogramDataset.gather
+
+    def spy(self, idx):
+        gathered.append(np.asarray(idx))
+        return orig(self, idx)
+
+    monkeypatch.setattr(SpectrogramDataset, "gather", spy)
+    out = list(batch_iterator(ds, 4, seed=1, skip=3))
+    assert len(gathered) == len(out)  # one gather per YIELDED batch only

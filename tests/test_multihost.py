@@ -106,3 +106,65 @@ def test_two_process_training_matches_single_host(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=0
         )
+
+
+def test_two_process_preemption_agrees_collectively(tmp_path):
+    """SIGUSR1 delivered to ONE of two processes: the per-boundary
+    collective agreement must propagate the preemption to the other, both
+    flush one off-cadence checkpoint together (orbax saves are
+    collective — a one-sided flush would deadlock), and both exit 0."""
+    import signal
+    import time
+
+    import jax
+
+    ds = _synth_dataset(tmp_path)
+    out_mh = str(tmp_path / "out_pre")
+    coord = f"127.0.0.1:{_free_port()}"
+
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _RUNNER, coord, str(pid), ds, out_mh, "preempt"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(_RUNNER)),
+        )
+        for pid in range(2)
+    ]
+    # wait for real training progress (lead flushes metrics.csv per row)
+    csv_path = os.path.join(out_mh, "metrics.csv")
+    deadline = time.time() + 480
+    while time.time() < deadline:
+        try:
+            if os.path.getsize(csv_path) > 0:
+                break
+        except OSError:
+            pass
+        if any(p.poll() is not None for p in procs):
+            break  # crashed early; surfaced below
+        time.sleep(0.5)
+    else:
+        raise AssertionError("no training progress before deadline")
+
+    procs[1].send_signal(signal.SIGUSR1)  # the NON-lead process only
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"runner failed:\n{o[-3000:]}"
+    assert all("preempted at iter" in o for o in outs)
+
+    # exactly one collectively-written off-cadence checkpoint
+    ckpt = CheckpointManager(os.path.join(out_mh, "checkpoints"))
+    assert ckpt.saved_indices() == [0]
+    cfg = TrainConfig(
+        batch_size=8, save_every=10**6, log_every=1, nb_preview=1,
+        chunk_steps=1, seed=0,
+    )
+    template = init_train_state(jax.random.PRNGKey(0), TINY_MODEL, cfg)
+    state, meta = ckpt.restore(0, template)
+    assert int(meta["iter_idx"]) >= 1
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0])
+    ).all()

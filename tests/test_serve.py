@@ -191,3 +191,32 @@ def test_http_streaming_wav(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_keepalive_post_with_body(service):
+    """POSTs carrying a body over a REUSED HTTP/1.1 connection: the
+    handler must drain the unread body, or the next request on the same
+    socket is parsed from the leftover body bytes and 400s."""
+    import http.client
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    try:
+        for seed in (3, 4):  # two requests, one persistent connection
+            conn.request(
+                "POST",
+                f"/synthesize?seed={seed}&nb_vec=1",
+                body=json.dumps({"client_tag": "keepalive-test"}),
+                headers={"Content-Type": "application/json"},
+            )
+            r = conn.getresponse()
+            assert r.status == 200
+            body = r.read()
+            assert body[:4] == b"RIFF"
+    finally:
+        conn.close()
+        server.shutdown()
+        server.server_close()

@@ -641,3 +641,42 @@ def test_preemption_mid_chunk_defers_flush_to_chunk_end(
         jax.tree_util.tree_leaves(s_ctrl), jax.tree_util.tree_leaves(s2)
     ):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_with_ema_off_drops_stale_ema(tmp_path, capsys):
+    """Resuming WITHOUT --ema-decay from an EMA-carrying checkpoint must
+    not keep a frozen gen_ema (eval prefers gen_ema when present, so a
+    kept-but-never-updated copy would silently pin every later
+    preview/generate/export to the resume point)."""
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path)
+    out = str(tmp_path / "out")
+    cfg = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=2, log_every=10, nb_preview=1,
+        chunk_steps=1, ema_decay=0.9,
+    )
+    s1 = train("t", ds, out, cfg, TINY_CFG, max_iters=2, mesh=None)
+    assert s1.gen_ema is not None
+
+    cfg_off = dataclasses.replace(cfg, ema_decay=0.0)
+    s2 = train("t", ds, out, cfg_off, TINY_CFG, resume=True, max_iters=4,
+               mesh=None)
+    assert s2.gen_ema is None
+    assert "discarding it" in capsys.readouterr().out
+
+
+def test_explicit_pallas_train_rejects_bf16():
+    """conv_impl='pallas_train' is an f32 kernel path; configuring it
+    together with a bf16 compute dtype must error, not silently train in
+    full f32 under a bf16-labelled run."""
+    from musicgan_tpu.config import ModelConfig, TrainConfig
+    from musicgan_tpu.ops.autotune import resolve_conv_impl
+
+    cfg = dataclasses.replace(ModelConfig(), conv_impl="pallas_train")
+    for dtype in ("bfloat16", "bfloat16_f32gp"):
+        with pytest.raises(ValueError, match="float32 only"):
+            resolve_conv_impl(
+                cfg, (1, 2, 32, 32), 0, for_training=True,
+                train_cfg=TrainConfig(compute_dtype=dtype),
+            )
