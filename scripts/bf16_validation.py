@@ -23,7 +23,8 @@ from collections import defaultdict
 
 
 def run(dataset: str, out: str, dtype: str, div: int, max_iters: int,
-        seed: int = 0, max_stage: int = 5) -> None:
+        seed: int = 0, max_stage: int = 5, platform: str | None = None,
+        chunk_steps: int | None = None) -> None:
     cmd = [
         sys.executable, os.path.join(os.path.dirname(__file__), "quality_run.py"),
         "--dataset", dataset, "--out", out, "--schedule-div", str(div),
@@ -31,6 +32,10 @@ def run(dataset: str, out: str, dtype: str, div: int, max_iters: int,
         "--seed", str(seed),
         "--max-iters", str(max_iters), "--save-every", str(10 * max_iters),
     ]
+    if platform:
+        cmd += ["--platform", platform]
+    if chunk_steps:
+        cmd += ["--chunk-steps", str(chunk_steps)]
     print("[bf16cmp] running:", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True)
 
@@ -69,6 +74,10 @@ def main() -> None:
                     help="comma-separated seeds (each dtype runs each)")
     ap.add_argument("--skip-train", action="store_true",
                     help="only compare existing metrics.csv files")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform for the training runs "
+                         "(e.g. 'cpu' while the TPU is busy)")
+    ap.add_argument("--chunk-steps", type=int, default=None)
     args = ap.parse_args()
 
     dtypes = args.dtypes.split(",")
@@ -83,7 +92,8 @@ def main() -> None:
                 print(f"[bf16cmp] reusing completed run at {out}")
                 continue
             run(args.dataset, out, dtype, args.schedule_div, args.max_iters,
-                seed=seed, max_stage=args.max_stage)
+                seed=seed, max_stage=args.max_stage,
+                platform=args.platform, chunk_steps=args.chunk_steps)
 
     # Compare every non-baseline dtype to the baseline, averaged per seed.
     base = dtypes[0]

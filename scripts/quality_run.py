@@ -43,7 +43,17 @@ def main() -> None:
     ap.add_argument("--stall-timeout", type=float, default=900.0,
                     help="device-stall watchdog (exit 75 for a supervised "
                          "--resume relaunch); 0 disables")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' for smoke/"
+                         "stability runs while the TPU is busy); the "
+                         "harness-pinned JAX_PLATFORMS env cannot be "
+                         "overridden from the environment, only here")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from musicgan_tpu.config import TrainConfig
     from musicgan_tpu.train import train
