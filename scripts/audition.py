@@ -34,6 +34,11 @@ def main() -> None:
 
     import jax
 
+    from musicgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # per-stage synth graphs cost 30-120 s
+    # through the tunnel; repeat auditions should only pay once
+
     from musicgan_tpu.audio.io import save_wav
     from musicgan_tpu.config import AudioConfig, ModelConfig
     from musicgan_tpu.generate import synthesize_fn
