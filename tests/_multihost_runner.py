@@ -67,6 +67,9 @@ def main() -> None:
         # the collective agreement must have propagated the one-process
         # signal to EVERY process before the loop stopped
         assert PREEMPTED.is_set(), "non-signaled process stopped w/o flag"
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pre_shutdown")  # see below
         print(
             f"[runner] process {pid} preempted at iter "
             f"{int(state.iter_idx)} OK",
@@ -79,6 +82,13 @@ def main() -> None:
         chunk_steps=1, seed=0,
     )
     train("mh", ds, out, cfg, TINY_MODEL, max_iters=4)
+    # The lead process does post-train host work (meta/preview/CSV) the
+    # follower doesn't; on a loaded single-core host that skew can exceed
+    # the distributed client's shutdown-barrier timeout (~30 s observed).
+    # Align both processes before interpreter exit triggers the barrier.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("pre_shutdown")
     print(f"[runner] process {pid} finished OK", flush=True)
 
 
