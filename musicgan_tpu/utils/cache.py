@@ -21,9 +21,26 @@ _DEFAULT_DIR = os.path.join(
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Enable the persistent cache — TPU/accelerator platforms only.
+
+    On CPU this is a no-op unless a path is forced (arg or
+    ``MUSICGAN_COMPILE_CACHE``): XLA:CPU executable (de)serialization
+    segfaulted two suite runs (once loading an AOT entry whose machine
+    features didn't match the host — the loader itself warns "could
+    lead to execution errors such as SIGILL" — and once serializing
+    into a fresh cache).  CPU compiles are seconds; tunnel-remote TPU
+    compiles are minutes and their cache entries have never
+    miscompared, so the trade only makes sense there.
+    """
     if os.environ.get("MUSICGAN_NO_COMPILE_CACHE"):
         return None
-    path = path or os.environ.get("MUSICGAN_COMPILE_CACHE", _DEFAULT_DIR)
+    forced = path or os.environ.get("MUSICGAN_COMPILE_CACHE")
+    # primary platform only: the axon plugin registers as "axon,cpu"
+    # (cpu as fallback), which must still get the cache
+    primary = (jax.config.jax_platforms or "").split(",")[0].strip()
+    if primary == "cpu" and not forced:
+        return None
+    path = forced or _DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

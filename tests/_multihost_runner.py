@@ -31,14 +31,17 @@ def main() -> None:
 
     import os as _os
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.path.join(
-            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-            ".jax_cache",
-        ),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # No persistent compilation cache on CPU — XLA:CPU executable
+    # (de)serialization has segfaulted suite runs (see tests/conftest.py).
+    if _os.environ.get("MUSICGAN_TEST_COMPILE_CACHE"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import os
 

@@ -177,7 +177,10 @@ def test_train_with_watchdog_enabled_completes(tmp_path):
 
     cfg = TrainConfig(
         batch_size=2, save_every=6, log_every=2, chunk_steps=2,
-        stall_timeout_s=30.0, max_stage=1, device_dataset="off",
+        # generous: a cold-cache grad-of-grad compile on a loaded
+        # single-core host exceeded 30 s and the (by-design) hard
+        # exit 75 killed the whole pytest process
+        stall_timeout_s=300.0, max_stage=1, device_dataset="off",
         fadein_lengths=(1,) * 8, train_lengths=(8,) * 7, nb_epoch=100,
     )
     before = {t.name for t in threading.enumerate()}
