@@ -36,8 +36,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         return None
     forced = path or os.environ.get("MUSICGAN_COMPILE_CACHE")
     # primary platform only: the axon plugin registers as "axon,cpu"
-    # (cpu as fallback), which must still get the cache
+    # (cpu as fallback), which must still get the cache.  When no
+    # platform was configured at all (plain CPU host, no JAX_PLATFORMS),
+    # ask the backend — otherwise the guard would fail open.
     primary = (jax.config.jax_platforms or "").split(",")[0].strip()
+    if not primary:
+        primary = jax.default_backend()
     if primary == "cpu" and not forced:
         return None
     path = forced or _DEFAULT_DIR

@@ -41,6 +41,11 @@ N_FFT = 2048
 def band_profile(wav: np.ndarray, sr: int) -> np.ndarray:
     """Gain-normalized log-power profile over log-spaced bands."""
     wav = np.asarray(wav, np.float64)
+    if len(wav) < N_FFT:
+        raise ValueError(
+            f"waveform too short for a spectral profile: {len(wav)} "
+            f"samples < N_FFT={N_FFT} (truncated/corrupt WAV?)"
+        )
     n = (len(wav) // N_FFT) * N_FFT
     frames = wav[:n].reshape(-1, N_FFT) * np.hanning(N_FFT)
     spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2

@@ -34,7 +34,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=7)
     ap.add_argument("--batch", type=int, default=6)
-    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--k", type=int, default=5,
+                    help="iterations per scanned dispatch; keep a "
+                         "multiple of n_critic (5) so the full graph's "
+                         "G amortization is exactly 1/n_critic")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--conv-impl", default="auto")
     ap.add_argument("--platform", default=None)
@@ -229,9 +232,19 @@ def main() -> None:
         jax.block_until_ready(m["disc_loss"])
         best = min(best, time.perf_counter() - t0)
     results["full"] = best / K
+    # wgan_d_cat is an ALTERNATIVE formulation of wgan_d (a candidate
+    # restructuring), not a production segment — keep it out of the sum.
+    seg_sum = sum(
+        v for k, v in results.items() if k not in ("full", "wgan_d_cat")
+    )
+    g_per_iter = results["g_step"] * sum(
+        1 for i in range(K) if i % train_cfg.n_critic == 0
+    ) / K
+    seg_sum = seg_sum - results["g_step"] + g_per_iter
     print(f"{'full':>8}: {results['full'] * 1e3:8.2f} ms   "
-          f"(segment sum {sum(v for k, v in results.items() if k != 'full') * 1e3:.2f} ms; "
-          f"g_step amortized 1/{train_cfg.n_critic} in full)")
+          f"(amortized segment sum {seg_sum * 1e3:.2f} ms; full runs "
+          f"{sum(1 for i in range(K) if i % train_cfg.n_critic == 0)} "
+          f"G step(s) per {K} iters)")
 
 
 if __name__ == "__main__":

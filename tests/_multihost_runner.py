@@ -31,9 +31,10 @@ def main() -> None:
 
     import os as _os
 
-    # No persistent compilation cache on CPU — XLA:CPU executable
-    # (de)serialization has segfaulted suite runs (see tests/conftest.py).
-    if _os.environ.get("MUSICGAN_TEST_COMPILE_CACHE"):
+    # Same cache policy and knob as tests/conftest.py: enabled by
+    # default (two green full-suite runs with per-module clears), with
+    # MUSICGAN_TEST_NO_COMPILE_CACHE as the opt-out.
+    if not _os.environ.get("MUSICGAN_TEST_NO_COMPILE_CACHE"):
         jax.config.update(
             "jax_compilation_cache_dir",
             _os.path.join(
@@ -69,10 +70,13 @@ def main() -> None:
 
         # the collective agreement must have propagated the one-process
         # signal to EVERY process before the loop stopped
-        assert PREEMPTED.is_set(), "non-signaled process stopped w/o flag"
+        # Align BEFORE the assert: if the assert fires on one process,
+        # a peer already parked at the barrier would otherwise bury the
+        # assertion under a slow cross-process barrier timeout.
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("pre_shutdown")  # see below
+        assert PREEMPTED.is_set(), "non-signaled process stopped w/o flag"
         print(
             f"[runner] process {pid} preempted at iter "
             f"{int(state.iter_idx)} OK",
