@@ -202,12 +202,46 @@ def bench_synthesis(rtt: float) -> None:
     )
 
 
+def _arm_init_guard(timeout_s: float = 600.0):
+    """Fail fast if device init wedges (dead tunnel) instead of hanging.
+
+    A wedged PJRT tunnel blocks ``jax.devices()`` forever with no
+    exception path (observed live twice, VALIDATION.md r3); a bench run
+    that hangs records nothing.  The guard thread exits 75 (retryable)
+    with a diagnostic line unless disarmed by first device contact.
+    """
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps({
+                    "metric": "bench_error",
+                    "value": None,
+                    "unit": f"device init exceeded {timeout_s:.0f}s "
+                            "(wedged tunnel?) — retry later",
+                }),
+                flush=True,
+            )
+            sys.stderr.write("bench: device init wedged; exiting 75\n")
+            os._exit(75)
+
+    threading.Thread(target=_watch, daemon=True, name="bench-init-guard").start()
+    return done
+
+
 def main() -> None:
     from musicgan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     bench_preproc()
+    guard = _arm_init_guard()
     rtt = _scalar_rtt()
+    guard.set()  # device answered; long compiles past here are legitimate
     bench_train(0, rtt)
     bench_train(7, rtt)
     bench_synthesis(rtt)  # headline: keep LAST (driver parses the tail)
