@@ -128,6 +128,14 @@ class TrainConfig:
     # enables it for single-host single-device runs whose corpus fits
     # device_dataset_budget_bytes; implies the in-graph input pipeline.
     device_dataset_budget_bytes: int = 4 << 30
+    device_dataset_dtype: str = "float32"  # "bfloat16" stores the RESIDENT
+    # corpus in bf16 (half the HBM -> 2x the corpus fits the budget); rows
+    # are upcast to f32 as each batch is gathered, so all compute stays
+    # f32.  The samples are min-max-normalized images, so bf16's ~3
+    # decimal digits perturb inputs by ~4e-3 of full scale — an input
+    # quantization, not the GP-gradient rounding that sank bf16 COMPUTE
+    # (VALIDATION.md r2).  Single-step metrics match f32-resident to ~1%
+    # (tests/test_train.py::test_device_dataset_bf16_resident).
     stall_timeout_s: float = 0.0     # >0 enables the device-stall watchdog
     # (utils/watchdog.py): if no metric fetch / checkpoint completes for
     # this long, the process exits 75 (EX_TEMPFAIL) so a supervisor

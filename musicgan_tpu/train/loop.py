@@ -109,16 +109,28 @@ def train(
 
     # Device-resident dataset mode: corpus in HBM once, indices per step
     # (see TrainConfig.device_dataset).  Single-host single-device scope.
+    dev_dtype = jnp.dtype(train_cfg.device_dataset_dtype)
+    if dev_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(
+            f"device_dataset_dtype must be float32 or bfloat16, got "
+            f"{train_cfg.device_dataset_dtype}"
+        )
+    # bf16 residency halves HBM bytes; budget-check the RESIDENT size.
+    _dev_bytes = dataset.nbytes() // (
+        2 if dev_dtype == jnp.dtype(jnp.bfloat16) else 1
+    )
     use_dev_data = train_cfg.device_dataset == "on" or (
         train_cfg.device_dataset == "auto"
         and mesh is None
         and jax.process_count() == 1
-        and dataset.nbytes() <= train_cfg.device_dataset_budget_bytes
+        and _dev_bytes <= train_cfg.device_dataset_budget_bytes
     )
     if use_dev_data and (mesh is not None or jax.process_count() > 1):
         raise ValueError("device_dataset='on' requires a single-host, "
                          "single-device run")
-    data_dev = jnp.asarray(dataset.as_array()) if use_dev_data else None
+    data_dev = (
+        jnp.asarray(dataset.as_array(), dev_dtype) if use_dev_data else None
+    )
 
     def to_global(local_np, sharding):
         """Assemble the global batch from this host's shard.  Single-host:
@@ -452,9 +464,11 @@ def train(
                 # the device — training continues on the resident snapshot.
                 if (
                     dataset.nbytes()
+                    // (2 if dev_dtype == jnp.dtype(jnp.bfloat16) else 1)
                     <= train_cfg.device_dataset_budget_bytes
                 ):
-                    data_dev = jnp.asarray(dataset.as_array())  # re-ship once
+                    # re-ship once
+                    data_dev = jnp.asarray(dataset.as_array(), dev_dtype)
                 elif lead:
                     print(
                         "[dataset] grown corpus exceeds "

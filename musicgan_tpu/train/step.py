@@ -375,7 +375,9 @@ def build_step(
         assert not pre_scaled, "device_data implies the in-graph pipeline"
 
         def step_dev(state, data, idx, alpha):
-            x_raw = jnp.take(data, idx, axis=0)
+            # Upcast at the gather: the resident corpus may be stored
+            # bf16 (device_dataset_dtype) — compute always runs f32.
+            x_raw = jnp.take(data, idx, axis=0).astype(jnp.float32)
             return iteration(state, x_raw, alpha, bool(with_gen))
 
         return jax.jit(step_dev, donate_argnums=(0,))
@@ -419,7 +421,8 @@ def build_chunk_step(
 
             def body(carry, inp):
                 idx, alpha, do_g = inp
-                x = jnp.take(data, idx, axis=0)
+                # bf16-resident corpora upcast at the gather (see step_dev)
+                x = jnp.take(data, idx, axis=0).astype(jnp.float32)
                 return iteration(carry, x, alpha, do_g)
 
             return jax.lax.scan(body, state, (idx_stack, alphas, gen_mask))

@@ -35,6 +35,12 @@ def main() -> None:
                     help="iterations per dispatch; raise (e.g. 100) on "
                          "tunnel-bound chips where per-dispatch H2D RTT "
                          "dominates the small growth stages")
+    ap.add_argument("--device-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="device-resident corpus storage dtype; bfloat16 "
+                         "halves HBM so 2x the corpus fits (compute stays "
+                         "f32; tests/test_train.py::test_device_dataset_"
+                         "bf16_resident)")
     ap.add_argument("--device-budget-gb", type=float, default=4.0,
                     help="device-resident dataset HBM budget (the r3 4x "
                          "corpus needs ~8 GB; the v5e has 16)")
@@ -72,6 +78,7 @@ def main() -> None:
         drift_eps=args.drift_eps,
         ema_decay=args.ema_decay,
         device_dataset_budget_bytes=int(args.device_budget_gb * 2**30),
+        device_dataset_dtype=args.device_dtype,
         stall_timeout_s=args.stall_timeout,
         nb_epoch=100000,  # schedule-bounded, not epoch-bounded
     )

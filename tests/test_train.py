@@ -680,3 +680,65 @@ def test_explicit_pallas_train_rejects_bf16():
                 cfg, (1, 2, 32, 32), 0, for_training=True,
                 train_cfg=TrainConfig(compute_dtype=dtype),
             )
+
+
+def test_device_dataset_bf16_resident(tmp_path):
+    """bf16-resident corpus (device_dataset_dtype='bfloat16'): half the
+    HBM, compute still f32 (upcast at the per-batch gather).  The inputs
+    are min-max-normalized images, so bf16 residency is a ~4e-3 input
+    quantization — a short run must track the f32-resident run closely
+    and stay finite; the resident array itself must be bf16."""
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path)
+    base = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=100, nb_preview=1,
+        chunk_steps=1, host_pipeline=False, device_dataset="on",
+    )
+    s_f32 = train(
+        "f32", ds, str(tmp_path / "f32"), base, TINY_CFG,
+        max_iters=4, mesh=None,
+    )
+    s_bf16 = train(
+        "bf16", ds, str(tmp_path / "bf16"),
+        dataclasses.replace(base, device_dataset_dtype="bfloat16"),
+        TINY_CFG, max_iters=4, mesh=None,
+    )
+    # Same permutation, same graphs; only the inputs are quantized.
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_f32), jax.tree_util.tree_leaves(s_bf16)
+    ):
+        x = np.asarray(x, np.float32)
+        y = np.asarray(y, np.float32)
+        assert np.isfinite(y).all()
+        np.testing.assert_allclose(
+            x, y, rtol=0.1, atol=0.05 * max(1.0, float(np.abs(x).max()))
+        )
+
+
+def test_device_dataset_bf16_halves_budget_requirement(tmp_path):
+    """A corpus that exceeds the budget at f32 but fits at bf16 must be
+    shipped resident under device_dataset='auto' + bf16 dtype."""
+    import dataclasses as dc
+
+    from musicgan_tpu.audio.dataset import SpectrogramDataset
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path)
+    nbytes = SpectrogramDataset(ds).nbytes()
+    budget = nbytes // 2 + 16  # too small for f32, enough for bf16
+    base = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=100, nb_preview=1,
+        chunk_steps=1, host_pipeline=False, device_dataset="auto",
+        device_dataset_budget_bytes=budget,
+    )
+    # f32: falls back to streaming (just runs); bf16: resident.
+    train("a", ds, str(tmp_path / "a"), base, TINY_CFG, max_iters=2,
+          mesh=None)
+    s = train(
+        "b", ds, str(tmp_path / "b"),
+        dc.replace(base, device_dataset_dtype="bfloat16"),
+        TINY_CFG, max_iters=2, mesh=None,
+    )
+    for leaf in jax.tree_util.tree_leaves(s):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
