@@ -693,7 +693,8 @@ def test_device_dataset_bf16_resident(tmp_path):
     ds = _synth_dataset(tmp_path)
     base = dataclasses.replace(
         FAST_CFG, nb_epoch=50, save_every=100, nb_preview=1,
-        chunk_steps=1, host_pipeline=False, device_dataset="on",
+        chunk_steps=2, host_pipeline=False, device_dataset="on",  # chunked
+        # dispatch so the lax.scan-body gather upcast is exercised too
     )
     s_f32 = train(
         "f32", ds, str(tmp_path / "f32"), base, TINY_CFG,
