@@ -282,18 +282,40 @@ def main() -> None:
     elif args.mode == "info":
         import json as _json
         import platform
+        import threading
 
         import jax
 
         from . import native
         from .ops import autotune
 
+        # Device enumeration can block FOREVER on a wedged/dead device
+        # tunnel (no exception path in PJRT; observed live — VALIDATION
+        # r3).  `info` is exactly the tool a user reaches for when the
+        # device is misbehaving, so probe in a daemon thread and report
+        # the hang as a diagnostic instead of becoming one.
+        dev_result: dict = {}
+
+        def _probe():
+            dev_result["backend"] = jax.default_backend()
+            dev_result["devices"] = [str(d) for d in jax.devices()]
+            dev_result["process_count"] = jax.process_count()
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(timeout=60.0)
+        if t.is_alive():
+            dev_result = {
+                "backend": "UNRESPONSIVE (device init exceeded 60s — "
+                           "wedged/dead tunnel?)",
+                "devices": [],
+                "process_count": None,
+            }
+
         info = {
             "python": platform.python_version(),
             "jax": jax.__version__,
-            "backend": jax.default_backend(),
-            "devices": [str(d) for d in jax.devices()],
-            "process_count": jax.process_count(),
+            **dev_result,
             "native_ingest": native.is_available(),
             "native_lib": native.lib_path() if native.is_available() else None,
             "autotune_cache": autotune._load_persisted(),
