@@ -51,6 +51,10 @@ def main() -> None:
     from musicgan_tpu.config import ModelConfig
     from musicgan_tpu.generate import load_generator_params
     from musicgan_tpu.serve import SynthesisService, _make_handler
+    from musicgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # bucket graphs cost minutes through the
+    # tunnel; repeat load measurements should only pay once
 
     params = load_generator_params(args.ckpt, ModelConfig())
     service = SynthesisService(
