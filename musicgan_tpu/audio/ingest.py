@@ -329,7 +329,10 @@ def create_dataset(
         try:
             n_threads = len(os.listdir("/proc/self/task"))
         except OSError:
-            n_threads = threading.active_count()
+            # No /proc (macOS etc.): OS threads can't be counted, and
+            # threading.active_count() can't see native runtime threads —
+            # the exact hazard this check exists for.  Assume threads.
+            n_threads = max(threading.active_count(), 2)
         if hasattr(os, "fork") and n_threads == 1:
             method = "fork"
         elif "forkserver" in mp.get_all_start_methods():

@@ -37,6 +37,30 @@ __all__ = [
 _CACHE: dict = {}
 _K = 4          # forwards per timed dispatch
 _REPS = 2       # dispatches per candidate (best-of)
+
+
+def _beat_watchdog() -> None:
+    """Witness autotune progress to the run's stall watchdog (if any).
+
+    Growth-boundary autotune times several full train graphs — minutes of
+    honest device work through a remote-compile tunnel, during which the
+    train loop makes no metric fetches.  Without beats the watchdog kills
+    a HEALTHY measurement, and since winners persist only after all
+    candidates finish, every supervised restart re-enters the same
+    boundary until --max-restarts is exhausted."""
+    from ..utils.watchdog import beat_active
+
+    beat_active()
+
+
+def _measure_rtt() -> float:
+    """Scalar dispatch round-trip latency, subtracted from measurements."""
+    tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(tiny(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(tiny(jnp.float32(0)))
+    return (time.perf_counter() - t0) / 3
 _CACHE_VERSION = 5  # bump when any impl's kernel changes: invalidates
 # persisted winners picked against the old code (v1: pallas tile bug
 # disqualified it, freezing 'xla' on disk; v2: bf16 sublane-padding OOM
@@ -120,13 +144,7 @@ def measure_conv_impls(
     params = init_generator(jax.random.PRNGKey(0), cfg)
     z = jax.random.normal(jax.random.PRNGKey(1), z_shape, dtype)
 
-    # Scalar round-trip latency, subtracted from each measurement.
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        np.asarray(tiny(jnp.float32(0)))
-    rtt = (time.perf_counter() - t0) / 3
+    rtt = _measure_rtt()
 
     times: dict[str, float] = {}
     for impl in candidates:
@@ -156,6 +174,7 @@ def measure_conv_impls(
         except Exception as e:  # noqa: BLE001 — a failing impl just loses
             print(f"[autotune] {impl} failed ({type(e).__name__}); skipped")
             times[impl] = float("inf")
+        _beat_watchdog()
     return times
 
 
@@ -176,13 +195,7 @@ def measure_train_impls(
 
     k = 5  # one full n_critic cycle per dispatch
     size = 4 * 2**stage
-
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        np.asarray(tiny(jnp.float32(0)))
-    rtt = (time.perf_counter() - t0) / 3
+    rtt = _measure_rtt()
 
     init_cfg = dataclasses.replace(model_cfg, conv_impl="xla")
     # Single-device measurement proxy: time the PER-DEVICE slice of the
@@ -210,6 +223,7 @@ def measure_train_impls(
             )
             state, m = step(state, x, alphas, mask)  # compile + warmup
             np.asarray(m["disc_loss"])
+            _beat_watchdog()  # the fetch above is real device progress
             best = float("inf")
             for _ in range(_REPS):
                 t0 = time.perf_counter()
@@ -223,6 +237,7 @@ def measure_train_impls(
                 f"({type(e).__name__}); skipped"
             )
             times[impl] = float("inf")
+        _beat_watchdog()
     return times
 
 

@@ -348,7 +348,10 @@ def _make_handler(service: SynthesisService):
             # reused connection, 400-ing every subsequent pooled request.
             blen = int(self.headers.get("Content-Length") or 0)
             while blen > 0:
-                blen -= len(self.rfile.read(min(blen, 1 << 16)) or b"\0")
+                got = self.rfile.read(min(blen, 1 << 16))
+                if not got:  # EOF before Content-Length bytes (lying or
+                    break    # disconnected client) — never busy-loop on it
+                blen -= len(got)
             url = urlparse(self.path)
             if url.path != "/synthesize":
                 self._json(404, {"error": f"unknown path {url.path}"})
@@ -397,18 +400,23 @@ def _make_handler(service: SynthesisService):
             # errors propagate to do_POST's guard as a JSON 400.
             first = np.asarray(wave[:seg], np.float32)
             self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
 
             def chunk(data: bytes) -> None:
                 self.wfile.write(b"%X\r\n" % len(data))
                 self.wfile.write(data)
                 self.wfile.write(b"\r\n")
 
-            chunk(_wav_header(n, service.audio_cfg.sample_rate))
-            chunk(first.tobytes())
+            # EVERY write after send_response sits inside the abort
+            # guard: once the 200 status line is out, a socket failure
+            # must drop the connection — letting it propagate would land
+            # in do_POST's JSON-400 path, which would write a second
+            # status line onto the committed response.
             try:
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                chunk(_wav_header(n, service.audio_cfg.sample_rate))
+                chunk(first.tobytes())
                 for a in range(seg, n, seg):
                     piece = np.asarray(wave[a : a + seg], np.float32)
                     chunk(piece.tobytes())

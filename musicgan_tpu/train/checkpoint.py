@@ -46,6 +46,9 @@ class CheckpointManager:
         self._ckptr.save(os.path.join(d, "state"), state, force=True)
         self._ckptr.wait_until_finished()
         if jax.process_index() == 0:
+            # record the saved STRUCTURE so restore can shape its template
+            # up front instead of probing with a failed restore
+            meta = {**meta, "has_ema": state.gen_ema is not None}
             with open(os.path.join(d, "meta.json"), "w") as f:
                 json.dump(meta, f, indent=1)
         return d
@@ -66,38 +69,64 @@ class CheckpointManager:
         self, save_idx: int, template: TrainState
     ) -> tuple[TrainState, dict]:
         d = self._dir(save_idx)
-        abstract = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, template
-        )
-        try:
-            state = self._ckptr.restore(os.path.join(d, "state"), abstract)
-        except Exception:
-            if template.gen_ema is not None:
-                # EMA-on resume of a checkpoint saved by an ema_decay=0
-                # run (or before EMA existed): restore the legacy
-                # structure, then seed the EMA from the live weights.
-                alt = template._replace(gen_ema=None)
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+
+        # Shape the template to the SAVED structure up front (meta records
+        # it since r3).  Probing with a failed restore — the previous
+        # approach — both masked genuine restore failures behind an
+        # unrelated second structure error and made every EMA-off load of
+        # an EMA-carrying run pay a guaranteed failed full restore.
+        fixup = None
+        has_ema = meta.get("has_ema")
+        if has_ema is not None:
+            if template.gen_ema is not None and not has_ema:
+                # EMA-on resume of an EMA-less checkpoint: restore the
+                # legacy structure, then seed the EMA from live weights.
+                template = template._replace(gen_ema=None)
                 fixup = lambda s: s._replace(  # noqa: E731
                     gen_ema=jax.tree_util.tree_map(
                         lambda x: x.copy(), s.gen_params
                     )
                 )
-            else:
+            elif template.gen_ema is None and has_ema:
                 # EMA-off template against an EMA-carrying checkpoint
                 # (e.g. generate/export loading an ema_decay>0 run): ask
                 # for the EMA subtree too, shaped like gen_params.
-                alt = template._replace(gen_ema=template.gen_params)
-                fixup = None
+                template = template._replace(gen_ema=template.gen_params)
             abstract = jax.tree_util.tree_map(
-                ocp.utils.to_shape_dtype_struct, alt
+                ocp.utils.to_shape_dtype_struct, template
             )
             state = self._ckptr.restore(os.path.join(d, "state"), abstract)
-            if not isinstance(state, TrainState):
-                state = TrainState(*state)
-            if fixup is not None:
-                state = fixup(state)
-        with open(os.path.join(d, "meta.json")) as f:
-            meta = json.load(f)
+        else:
+            # Checkpoint predates the has_ema marker: the saved structure
+            # is unknown, so probe — try the template as-is, and retry once
+            # with the opposite EMA structure on failure.
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, template
+            )
+            try:
+                state = self._ckptr.restore(
+                    os.path.join(d, "state"), abstract
+                )
+            except Exception:
+                if template.gen_ema is not None:
+                    alt = template._replace(gen_ema=None)
+                    fixup = lambda s: s._replace(  # noqa: E731
+                        gen_ema=jax.tree_util.tree_map(
+                            lambda x: x.copy(), s.gen_params
+                        )
+                    )
+                else:
+                    alt = template._replace(gen_ema=template.gen_params)
+                abstract = jax.tree_util.tree_map(
+                    ocp.utils.to_shape_dtype_struct, alt
+                )
+                state = self._ckptr.restore(
+                    os.path.join(d, "state"), abstract
+                )
         if not isinstance(state, TrainState):
             state = TrainState(*state)
+        if fixup is not None:
+            state = fixup(state)
         return state, meta

@@ -35,10 +35,27 @@ import sys
 import threading
 import time
 
-__all__ = ["EXIT_STALLED", "StallWatchdog"]
+__all__ = ["EXIT_STALLED", "StallWatchdog", "beat_active"]
 
 # BSD sysexits EX_TEMPFAIL: "temporary failure, retry is reasonable".
 EXIT_STALLED = 75
+
+# Process-wide handle to the (single) enabled watchdog, so long device
+# phases OUTSIDE the train loop — the per-stage autotune measurement at a
+# growth boundary times several full train graphs, minutes of honest work
+# through a remote-compile tunnel — can witness their own progress.
+# Without this, a healthy autotune longer than the timeout is killed as a
+# stall, and since the winner persists only after ALL candidates finish,
+# the supervised restart re-enters the same boundary and is killed again
+# until --max-restarts is exhausted.
+_ACTIVE: "StallWatchdog | None" = None
+
+
+def beat_active() -> None:
+    """Beat the process's enabled watchdog, if any (no-op otherwise)."""
+    wd = _ACTIVE
+    if wd is not None:
+        wd.beat()
 
 
 class StallWatchdog:
@@ -72,6 +89,8 @@ class StallWatchdog:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         if self.timeout_s > 0:
+            global _ACTIVE
+            _ACTIVE = self  # latest enabled instance wins (one per run)
             self._thread = threading.Thread(
                 target=self._watch, name="musicgan-stall-watchdog", daemon=True
             )
@@ -93,6 +112,9 @@ class StallWatchdog:
 
     def close(self) -> None:
         """Shut the detector down (end of training)."""
+        global _ACTIVE
+        if _ACTIVE is self:
+            _ACTIVE = None
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2 * self._poll_s)

@@ -247,3 +247,35 @@ def test_cli_supervisor_argv_munging(monkeypatch):
     assert "--resume" not in first
     assert "--resume" in second
     assert "--chunk-steps" in first  # user flags pass through
+
+
+def test_autotune_measurement_beats_active_watchdog(monkeypatch):
+    """Growth-boundary autotune times several full train graphs — minutes
+    of honest work during which the train loop makes no metric fetches.
+    The measurement must witness its own progress to the run's watchdog,
+    or a healthy autotune is killed as a stall (and the supervised
+    restart re-enters the same boundary until --max-restarts burns out)."""
+    import dataclasses
+
+    from tiny_cfg import TINY_MODEL
+
+    from musicgan_tpu.config import TrainConfig
+    from musicgan_tpu.ops import autotune
+    from musicgan_tpu.utils import watchdog
+
+    class _Counting:
+        beats = 0
+
+        def beat(self):
+            self.beats += 1
+
+    wd = _Counting()
+    monkeypatch.setattr(watchdog, "_ACTIVE", wd)
+    cfg = dataclasses.replace(TINY_MODEL, conv_impl="auto")
+    times = autotune.measure_train_impls(
+        cfg, TrainConfig(batch_size=2, chunk_steps=1), stage=0,
+        candidates=("xla", "subpixel"),
+    )
+    assert set(times) == {"xla", "subpixel"}
+    # one beat after each candidate's warmup fetch + one per candidate end
+    assert wd.beats >= 2
