@@ -326,6 +326,11 @@ def _make_handler(service: SynthesisService):
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # tell the client too (close_connection alone only stops
+                # the server loop; a keep-alive client would wait on the
+                # half-open socket)
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -346,6 +351,17 @@ def _make_handler(service: SynthesisService):
             # Drain any request body first: under HTTP/1.1 keep-alive an
             # unread body would be parsed as the NEXT request line on the
             # reused connection, 400-ing every subsequent pooled request.
+            # A chunked body has no Content-Length — its framing would
+            # survive the drain below and poison the connection the same
+            # way, so refuse it (411: length required) and close.
+            if self.headers.get("Transfer-Encoding"):
+                self.close_connection = True
+                self._json(411, {
+                    "error": "chunked request bodies unsupported; "
+                             "send Content-Length (bodies are ignored — "
+                             "use query parameters)"
+                })
+                return
             blen = int(self.headers.get("Content-Length") or 0)
             while blen > 0:
                 got = self.rfile.read(min(blen, 1 << 16))

@@ -109,7 +109,7 @@ class CheckpointManager:
                 state = self._ckptr.restore(
                     os.path.join(d, "state"), abstract
                 )
-            except Exception:
+            except Exception as first_err:
                 if template.gen_ema is not None:
                     alt = template._replace(gen_ema=None)
                     fixup = lambda s: s._replace(  # noqa: E731
@@ -122,9 +122,16 @@ class CheckpointManager:
                 abstract = jax.tree_util.tree_map(
                     ocp.utils.to_shape_dtype_struct, alt
                 )
-                state = self._ckptr.restore(
-                    os.path.join(d, "state"), abstract
-                )
+                try:
+                    state = self._ckptr.restore(
+                        os.path.join(d, "state"), abstract
+                    )
+                except Exception as second_err:
+                    # A corrupt/partial checkpoint (not an EMA-structure
+                    # mismatch) fails BOTH probes; chain to the first
+                    # error so the real cause isn't buried under the
+                    # retry's structure-mismatch noise (ADVICE r3).
+                    raise second_err from first_err
         if not isinstance(state, TrainState):
             state = TrainState(*state)
         if fixup is not None:

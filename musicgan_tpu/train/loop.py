@@ -159,11 +159,16 @@ def train(
     # witnessed through real device->host fetches — metric
     # materialization and checkpoint writes — and their absence past the
     # timeout exits 75 for a supervised restart (utils/watchdog.py).
-    # Lead-only: followers fetch nothing on a log cadence; they surface
-    # failures through the collective ops erroring once the lead dies.
-    from ..utils.watchdog import StallWatchdog
+    # EVERY host runs the detector: followers materialize the cadence
+    # metrics too (log_metrics below), so a lead death that leaves them
+    # blocked in a collective is detected and exits 75 on every process —
+    # a lead-only watchdog strands followers in a hang (or an unretryable
+    # rc-1 crash) and the supervised relaunch deadlocks waiting for them
+    # (ADVICE r3).  Collective failures that DO error are mapped to the
+    # same retryable exit at the bottom of this function.
+    from ..utils.watchdog import StallWatchdog, is_distributed_failure
 
-    watchdog = StallWatchdog(train_cfg.stall_timeout_s if lead else 0.0)
+    watchdog = StallWatchdog(train_cfg.stall_timeout_s)
     preempted = PREEMPTED
     _prev_sig = _install_preemption_handlers()
 
@@ -268,12 +273,17 @@ def train(
         )
 
     def log_metrics(epoch, m_iter, m_stage, m, m_gen, alpha, row_idx=None):
-        if logger is None:
-            return
+        # Every host materializes the cadence metrics — the float()s are
+        # real device->host fetches, the watchdog's progress evidence.  A
+        # follower that fetched nothing could witness progress only on
+        # the (much sparser) checkpoint cadence, making its stall clock
+        # useless; the cost is a handful of scalars per log_every iters.
         host_m = {
             k: float(v if row_idx is None else v[row_idx]) for k, v in m.items()
         }
         watchdog.beat()  # the float()s above materialized device results
+        if logger is None:
+            return
         if not m_gen:
             host_m.pop("gen_loss", None)
             host_m.pop("e_gen", None)
@@ -467,8 +477,17 @@ def train(
                     // (2 if dev_dtype == jnp.dtype(jnp.bfloat16) else 1)
                     <= train_cfg.device_dataset_budget_bytes
                 ):
-                    # re-ship once
+                    # Re-ship once.  A grown resident corpus is a multi-GB
+                    # H2D upload (slow through a tunnel) with no metric
+                    # fetch in sight; beat on both sides so the upload gets
+                    # a full stall window of its own (instead of whatever
+                    # was left since the last metric fetch) and the
+                    # steady-state clock doesn't inherit its duration.  A
+                    # wedged upload is still detected one timeout later.
+                    watchdog.beat()
                     data_dev = jnp.asarray(dataset.as_array(), dev_dtype)
+                    data_dev.block_until_ready()
+                    watchdog.beat()
                 elif lead:
                     print(
                         "[dataset] grown corpus exceeds "
@@ -515,6 +534,25 @@ def train(
 
     try:
         run_epochs()
+    except Exception as e:
+        # Multi-host: a dead lead/coordinator surfaces on the survivors
+        # as a gRPC-flavored runtime error from the next collective —
+        # exactly as retryable as a stall.  Map it to the supervisor's
+        # retry contract (EXIT_STALLED) so every host relaunches; an
+        # unmapped rc-1 here makes the follower's supervisor give up and
+        # the relaunched lead then blocks forever in
+        # initialize_distributed (ADVICE r3).
+        if num_hosts > 1 and is_distributed_failure(e):
+            from ..utils.watchdog import EXIT_STALLED
+
+            print(
+                f"[train] distributed runtime failure "
+                f"({type(e).__name__}: {e}); exiting {EXIT_STALLED} "
+                "for supervised restart from the latest checkpoint",
+                flush=True,
+            )
+            raise SystemExit(EXIT_STALLED) from e
+        raise
     finally:
         watchdog.close()
         _restore_preemption_handlers(_prev_sig)

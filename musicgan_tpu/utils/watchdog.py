@@ -35,7 +35,12 @@ import sys
 import threading
 import time
 
-__all__ = ["EXIT_STALLED", "StallWatchdog", "beat_active"]
+__all__ = [
+    "EXIT_STALLED",
+    "StallWatchdog",
+    "beat_active",
+    "is_distributed_failure",
+]
 
 # BSD sysexits EX_TEMPFAIL: "temporary failure, retry is reasonable".
 EXIT_STALLED = 75
@@ -56,6 +61,45 @@ def beat_active() -> None:
     wd = _ACTIVE
     if wd is not None:
         wd.beat()
+
+
+# When the coordinator (or a peer) dies, surviving processes don't stall
+# silently — their next collective/dispatch errors with a gRPC-flavored
+# runtime failure.  Those deaths are exactly as retryable as a stall (the
+# supervisor relaunches with --resume), but an ordinary rc-1 crash is not,
+# so the train CLI maps only exceptions matching these markers to
+# EXIT_STALLED.  Markers are substrings of real jaxlib/XLA distributed-
+# runtime messages (coordination-service heartbeats, barrier timeouts,
+# gRPC channel teardown).
+_DIST_FAILURE_MARKERS = (
+    "coordination service",
+    "coordinationservice",
+    "heartbeat",
+    "deadline_exceeded",
+    "deadline exceeded",
+    "unavailable",
+    "barrier",
+    "socket closed",
+    "connection reset",
+    "connection refused",
+    "failed to connect",
+    "broken pipe",
+    "shutting down",
+    "preempt",
+)
+
+
+def is_distributed_failure(exc: BaseException) -> bool:
+    """Heuristic: does ``exc`` look like the distributed runtime dying
+    under us (lead/peer death, coordination-service loss) rather than a
+    bug in this process?  Used by the train loop on multi-host runs to
+    map follower-side collective failures after a lead death to
+    :data:`EXIT_STALLED`, so every host's supervisor relaunches —
+    without it the relaunched lead blocks forever in
+    ``initialize_distributed`` waiting for followers whose supervisors
+    gave up on an unretryable rc 1 (ADVICE r3)."""
+    s = f"{type(exc).__name__}: {exc}".lower()
+    return any(m in s for m in _DIST_FAILURE_MARKERS)
 
 
 class StallWatchdog:

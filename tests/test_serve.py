@@ -220,3 +220,32 @@ def test_http_keepalive_post_with_body(service):
         conn.close()
         server.shutdown()
         server.server_close()
+
+
+def test_http_chunked_body_refused_with_411(service):
+    """A Transfer-Encoding: chunked POST has no Content-Length, so its
+    framing would survive the body drain and poison a kept-alive
+    connection — the handler must refuse it (411) and close."""
+    import http.client
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    try:
+        conn.putrequest("POST", "/synthesize?seed=5&nb_vec=1")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        # one chunk + terminator — the exact bytes that would otherwise be
+        # parsed as the next request line
+        conn.send(b"5\r\nhello\r\n0\r\n\r\n")
+        r = conn.getresponse()
+        assert r.status == 411
+        assert "Content-Length" in json.loads(r.read())["error"]
+        # server must close the (unparseable-past-here) connection
+        assert r.getheader("Connection") == "close" or r.will_close
+    finally:
+        conn.close()
+        server.shutdown()
+        server.server_close()

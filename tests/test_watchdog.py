@@ -18,7 +18,34 @@ import time
 import numpy as np
 
 from musicgan_tpu.utils.supervise import run_supervised
-from musicgan_tpu.utils.watchdog import EXIT_STALLED, StallWatchdog
+from musicgan_tpu.utils.watchdog import (
+    EXIT_STALLED,
+    StallWatchdog,
+    is_distributed_failure,
+)
+
+
+def test_is_distributed_failure_classification():
+    """Only distributed-runtime-flavored errors map to the retryable exit
+    (ADVICE r3: followers must exit 75 when the lead dies, but a real
+    crash must NOT be retried into a loop)."""
+    retryable = [
+        RuntimeError(
+            "Coordination service agent is in ERROR: heartbeat timeout"
+        ),
+        RuntimeError("DEADLINE_EXCEEDED: Barrier timed out: shutdown"),
+        ConnectionError("UNAVAILABLE: failed to connect to all addresses"),
+        OSError("Socket closed"),
+        RuntimeError("gRPC channel: connection reset by peer"),
+    ]
+    not_retryable = [
+        AssertionError("batch 6 not divisible by 4 devices"),
+        ValueError("device_dataset='on' requires a single-host run"),
+        FloatingPointError("nan encountered in gradient penalty"),
+        KeyError("gen_params"),
+    ]
+    assert all(is_distributed_failure(e) for e in retryable)
+    assert not any(is_distributed_failure(e) for e in not_retryable)
 
 
 def _wait_for(pred, timeout=5.0):
