@@ -31,6 +31,15 @@ the caveats).  Synthesis keeps its absolute north star: 60 s of audio in
 <1 s (BASELINE.json), i.e. ``vs_baseline = value / 60``.
 
 Prints one JSON line per metric; the headline synthesis line is last.
+
+Wedge-proofing (the r3 lesson: the device tunnel died at bench time and
+erased the round's verified perf record — VERDICT r3 item 1): the
+device-bound benches run in a CHILD process with a 600 s init guard; on
+failure the parent retries once after a 60 s backoff, and if the device
+is still gone it emits the last-known-good value of each device metric
+from ``BENCH_CACHE.json`` marked ``"stale": true`` (host-side preproc is
+always fresh).  Every successful measurement write-through updates the
+cache, so the cache is at worst one healthy bench old.
 """
 
 from __future__ import annotations
@@ -74,6 +83,44 @@ except OSError:
     pass
 
 
+import os as _os
+
+# Env knobs exist for the test suite (tests/test_bench.py) — production
+# uses the defaults.
+_CACHE_PATH = _os.environ.get(
+    "MUSICGAN_BENCH_CACHE", __file__.replace("bench.py", "BENCH_CACHE.json")
+)
+_RETRY_BACKOFF_S = float(_os.environ.get("MUSICGAN_BENCH_BACKOFF_S", "60"))
+_INIT_TIMEOUT_S = float(_os.environ.get("MUSICGAN_BENCH_INIT_TIMEOUT_S", "600"))
+# Emission order of the device metrics; the headline synthesis metric is
+# LAST (the driver parses the tail line).
+_DEVICE_METRICS = (
+    "train_steps_per_sec_stage0",
+    "train_steps_per_sec_stage7",
+    "gen_audio_sec_per_wall_sec",
+)
+
+
+def _cache_load() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _cache_update(rec: dict) -> None:
+    """Write-through of one fresh metric record (last-known-good store)."""
+    cache = _cache_load()
+    cache[rec["metric"]] = {**rec, "measured_at": time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+    )}
+    tmp = f"{_CACHE_PATH}.tmp.{time.time_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1)
+    _os.replace(tmp, _CACHE_PATH)
+
+
 def _emit(metric: str, value: float, unit: str, baseline) -> None:
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if baseline:
@@ -81,6 +128,7 @@ def _emit(metric: str, value: float, unit: str, baseline) -> None:
     else:
         rec["vs_baseline"] = None
     print(json.dumps(rec), flush=True)
+    _cache_update(rec)
 
 
 def _scalar_rtt() -> float:
@@ -202,7 +250,7 @@ def bench_synthesis(rtt: float) -> None:
     )
 
 
-def _arm_init_guard(timeout_s: float = 600.0):
+def _arm_init_guard(timeout_s: float = _INIT_TIMEOUT_S):
     """Fail fast if device init wedges (dead tunnel) instead of hanging.
 
     A wedged PJRT tunnel blocks ``jax.devices()`` forever with no
@@ -234,11 +282,12 @@ def _arm_init_guard(timeout_s: float = 600.0):
     return done
 
 
-def main() -> None:
+def device_phase() -> None:
+    """Everything that needs the accelerator (run in a child process so a
+    wedged device init can't take the whole bench down)."""
     from musicgan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    bench_preproc()
     guard = _arm_init_guard()
     rtt = _scalar_rtt()
     guard.set()  # device answered; long compiles past here are legitimate
@@ -247,19 +296,87 @@ def main() -> None:
     bench_synthesis(rtt)  # headline: keep LAST (driver parses the tail)
 
 
+def _run_device_child() -> int:
+    """Run the device phase as a child; its _emit lines stream through to
+    our stdout and write-through to the shared cache file."""
+    import subprocess
+    import sys
+
+    return subprocess.run(
+        [sys.executable, "-u", __file__, "--device-phase"]
+    ).returncode
+
+
+def _emit_stale_device_metrics() -> bool:
+    """Device is gone: replay the last-known-good device metrics marked
+    stale (headline last).  Returns False when there is nothing cached."""
+    cache = _cache_load()
+    found = False
+    for name in _DEVICE_METRICS:
+        rec = cache.get(name)
+        if rec is None:
+            continue
+        print(json.dumps({**rec, "stale": True}), flush=True)
+        found = True
+    return found
+
+
+def main() -> None:
+    import sys
+
+    bench_preproc()  # host-side: fresh regardless of device health
+    rc = _run_device_child()
+    if rc != 0:
+        print(
+            f"bench: device phase failed (rc {rc}); retrying once after "
+            f"a {_RETRY_BACKOFF_S:.0f} s backoff",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(_RETRY_BACKOFF_S)
+        rc = _run_device_child()
+    if rc != 0:
+        # The device is wedged/dead.  Do NOT erase the perf record: emit
+        # the last healthy bench's device metrics marked stale, so the
+        # round still records a full (if dated) table plus the fresh
+        # host metric above.
+        print(
+            json.dumps({
+                "metric": "bench_warning",
+                "value": None,
+                "unit": f"device phase failed twice (rc {rc}); device "
+                        "metrics below are the last-known-good values, "
+                        "marked stale",
+            }),
+            flush=True,
+        )
+        if not _emit_stale_device_metrics():
+            print(
+                "bench: device gone and no cached metrics; exiting 75",
+                file=sys.stderr,
+                flush=True,
+            )
+            raise SystemExit(75)
+
+
 if __name__ == "__main__":
     import sys
     import time as _time
 
-    # The tunneled TPU occasionally reports FAILED_PRECONDITION right after
-    # another process released it; retry before giving up.
-    for attempt in range(3):
-        try:
-            main()
-            break
-        except Exception as e:  # noqa: BLE001
-            if attempt == 2:
-                raise
-            print(f"bench attempt {attempt + 1} failed ({e!r}); retrying",
-                  file=sys.stderr)
-            _time.sleep(20)
+    if "--device-phase" in sys.argv:
+        # The tunneled TPU occasionally reports FAILED_PRECONDITION right
+        # after another process released it; retry before giving up.
+        for attempt in range(3):
+            try:
+                device_phase()
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 2:
+                    raise
+                print(
+                    f"bench attempt {attempt + 1} failed ({e!r}); retrying",
+                    file=sys.stderr,
+                )
+                _time.sleep(20)
+    else:
+        main()

@@ -107,9 +107,16 @@ def generate(
     stage: int = 7,
     model_cfg: Optional[ModelConfig] = None,
     audio_cfg: AudioConfig = AudioConfig(),
+    z=None,
 ) -> list[str]:
     """CLI workflow (reference ``generate.py:12-65``): sample ``nb_music``
-    wide latents, synthesize, write ``sound_{i}.wav``.  Returns paths."""
+    wide latents, synthesize, write ``sound_{i}.wav``.  Returns paths.
+
+    ``z``: optional explicit latent batch ``(nb_music, latent_height,
+    latent_width * nb_vec, rand_channels)`` overriding the seeded sample —
+    for reproducible generation and cross-framework parity tests (the
+    reference samples with torch RNG, so matching by seed is impossible;
+    matching by value is exact)."""
     import dataclasses
 
     if model_cfg is None:
@@ -121,15 +128,28 @@ def generate(
     os.makedirs(output_dir, exist_ok=True)
 
     params = load_generator_params(gen_ckpt, model_cfg)
-    z = jax.random.normal(
-        jax.random.PRNGKey(seed),
-        (
+    if z is None:
+        z = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (
+                nb_music,
+                model_cfg.latent_height,
+                model_cfg.latent_width * nb_vec,
+                model_cfg.rand_channels,
+            ),
+        )
+    else:
+        import jax.numpy as jnp
+
+        z = jnp.asarray(z)
+        expect = (
             nb_music,
             model_cfg.latent_height,
             model_cfg.latent_width * nb_vec,
             model_cfg.rand_channels,
-        ),
-    )
+        )
+        if tuple(z.shape) != expect:
+            raise ValueError(f"z shape {tuple(z.shape)} != expected {expect}")
     waves = np.asarray(synthesize_fn(model_cfg, stage)(params, z))
 
     paths = []

@@ -17,6 +17,18 @@ Lower = closer to the corpus.  Also reports the checkpoint-mean profile
 distance to the corpus-mean profile (a mode-coverage-insensitive
 variant).
 
+Diversity axis (guards the corpus-likeness claim against mode collapse —
+nearest-track distance can be WON by collapsing onto one corpus track):
+
+* ``inter_sample_dist``: mean pairwise RMS distance between the
+  checkpoint's own sample profiles — ~0 means every seed renders the
+  same spectrum.  For calibration the script prints the corpus's own
+  inter-track distance: a healthy model sits well above 0 and below or
+  near the corpus spread.
+* ``nearest_track_coverage``: fraction of distinct corpus tracks chosen
+  as "nearest" across the samples — collapse shows up as every seed
+  matching the SAME track.  Meaningful from ~8 seeds up.
+
 Usage:
   python scripts/eval_quality.py AUDITION_DIR --corpus /root/corpus_r3/wav
 """
@@ -63,6 +75,18 @@ def band_profile(wav: np.ndarray, sr: int) -> np.ndarray:
     return prof - prof.mean()  # gain-invariant
 
 
+def inter_sample_dist(profiles: np.ndarray) -> float:
+    """Mean pairwise RMS distance between band profiles ``(S, B)`` — the
+    mode-collapse detector: ~0 when every sample has the same spectrum."""
+    s = len(profiles)
+    if s < 2:
+        return float("nan")
+    d = np.sqrt(
+        ((profiles[:, None, :] - profiles[None, :, :]) ** 2).mean(axis=2)
+    )
+    return float(d[np.triu_indices(s, k=1)].mean())
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("audition_dir")
@@ -79,8 +103,10 @@ def main() -> None:
         corpus_profiles.append(band_profile(wav, sr))
     corpus = np.stack(corpus_profiles)  # (T, B)
     corpus_mean = corpus.mean(axis=0)
+    corpus_spread = inter_sample_dist(corpus)
     print(f"corpus: {len(corpus)} tracks, {N_BANDS} bands "
-          f"{F_LO:.0f}-{F_HI:.0f} Hz")
+          f"{F_LO:.0f}-{F_HI:.0f} Hz, inter-track dist "
+          f"{corpus_spread:.4f} (diversity calibration)")
 
     per_save: dict[int, list[np.ndarray]] = defaultdict(list)
     for p in sorted(glob.glob(os.path.join(args.audition_dir, "*.wav"))):
@@ -90,20 +116,29 @@ def main() -> None:
         wav, sr = load_wav(p)
         per_save[int(m.group(1))].append(band_profile(wav, sr))
 
-    results = {}
-    print(f"\n{'save':>5} {'nearest-track dist':>19} {'mean-profile dist':>18}")
+    results = {"corpus_inter_track_dist": corpus_spread}
+    print(f"\n{'save':>5} {'nearest-track dist':>19} {'mean-profile dist':>18}"
+          f" {'inter-sample dist':>18} {'coverage':>9}")
     for k in sorted(per_save):
         gen = np.stack(per_save[k])  # (S, B)
         # per-sample RMS distance to the nearest corpus track
-        d = np.sqrt(((gen[:, None, :] - corpus[None, :, :]) ** 2)
-                    .mean(axis=2)).min(axis=1)
+        dists = np.sqrt(((gen[:, None, :] - corpus[None, :, :]) ** 2)
+                        .mean(axis=2))
+        d = dists.min(axis=1)
         nearest = float(d.mean())
         mean_d = float(np.sqrt(((gen.mean(axis=0) - corpus_mean) ** 2)
                                .mean()))
+        diversity = inter_sample_dist(gen)
+        coverage = float(
+            len(set(dists.argmin(axis=1).tolist())) / len(gen)
+        )
         results[k] = {"nearest_track_dist": nearest,
                       "mean_profile_dist": mean_d,
+                      "inter_sample_dist": diversity,
+                      "nearest_track_coverage": coverage,
                       "n_samples": len(gen)}
-        print(f"{k:>5} {nearest:>19.4f} {mean_d:>18.4f}")
+        print(f"{k:>5} {nearest:>19.4f} {mean_d:>18.4f} "
+              f"{diversity:>18.4f} {coverage:>9.2f}")
 
     if args.json_out:
         with open(args.json_out, "w") as f:

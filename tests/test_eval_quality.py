@@ -51,3 +51,22 @@ def test_band_profile_low_band_interpolation_finite():
     w = _tone(50.0)
     prof = eval_quality.band_profile(w, SR)
     assert np.isfinite(prof).all()
+
+
+def test_inter_sample_dist_detects_mode_collapse():
+    """The diversity axis (VERDICT r3 item 4): identical samples score ~0,
+    spectrally distinct samples score high — so a checkpoint can't win
+    'most corpus-like' by rendering one corpus track from every seed."""
+    freqs = [220.0, 440.0, 880.0, 1760.0]
+    diverse = np.stack(
+        [eval_quality.band_profile(_tone(f), SR) for f in freqs]
+    )
+    collapsed = np.stack(
+        [eval_quality.band_profile(_tone(440.0, phase=p), SR)
+         for p in (0.0, 0.5, 1.0, 1.5)]
+    )
+    d_div = eval_quality.inter_sample_dist(diverse)
+    d_col = eval_quality.inter_sample_dist(collapsed)
+    assert d_col < 0.1 * d_div
+    # degenerate input: a single sample has no pairwise distance
+    assert np.isnan(eval_quality.inter_sample_dist(diverse[:1]))
