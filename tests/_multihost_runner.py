@@ -7,12 +7,18 @@ executing the real multi-host paths: ``initialize_distributed``
 ``jax.make_array_from_process_local_data`` batch assembly (train/loop.py),
 and the collective orbax checkpoint with lead-only meta/preview/CSV writes.
 
-Usage: python _multihost_runner.py COORD PID DATASET_DIR OUT_DIR [MODE]
+Usage: python _multihost_runner.py COORD PID DATASET_DIR OUT_DIR [MODE] [ARG]
 
 MODE "train" (default): 4 iterations to a cadence checkpoint.
 MODE "preempt": a long run with an unreachable save cadence; the parent
 test SIGUSR1s ONE process mid-run and both must agree collectively,
 flush one off-cadence checkpoint together, and exit cleanly.
+MODE "preempt75": like "preempt" but mirrors the CLI's retry contract —
+exits EXIT_STALLED (75) on every host after the collective flush, and
+dumps nothing (the flushed checkpoint is the artifact).
+MODE "resume:N" / "full:N": run to max_iters=N with/without --resume
+semantics, then the LEAD dumps the final generator+discriminator params
+to OUT_DIR/final_params.npz for bit-exactness comparison across runs.
 """
 
 import sys
@@ -60,7 +66,7 @@ def main() -> None:
     assert jax.process_count() == 2
     assert len(jax.devices()) == 4
 
-    if mode == "preempt":
+    if mode in ("preempt", "preempt75"):
         cfg = TrainConfig(
             batch_size=8, save_every=10**6, log_every=1, nb_preview=1,
             chunk_steps=1, seed=0,
@@ -82,6 +88,42 @@ def main() -> None:
             f"{int(state.iter_idx)} OK",
             flush=True,
         )
+        if mode == "preempt75":
+            # The CLI contract (musicgan_tpu/__main__.py): a preempted
+            # run exits EX_TEMPFAIL on EVERY host so each host's
+            # supervisor relaunches with --resume.
+            from musicgan_tpu.utils.watchdog import EXIT_STALLED
+
+            sys.stdout.flush()
+            raise SystemExit(EXIT_STALLED)
+        return
+
+    if mode.startswith(("resume:", "full:")):
+        import numpy as np
+
+        max_iters = int(mode.split(":")[1])
+        cfg = TrainConfig(
+            batch_size=8, save_every=10**6, log_every=1, nb_preview=1,
+            chunk_steps=1, seed=0,
+        )
+        state = train(
+            "mh", ds, out, cfg, TINY_MODEL,
+            resume=mode.startswith("resume:"), max_iters=max_iters,
+        )
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pre_dump")
+        if pid == 0:  # params are replicated; one dump suffices
+            leaves = jax.tree_util.tree_leaves(
+                (state.gen_params, state.disc_params)
+            )
+            np.savez(
+                os.path.join(out, "final_params.npz"),
+                **{f"p{i}": np.asarray(x) for i, x in enumerate(leaves)},
+            )
+        multihost_utils.sync_global_devices("pre_shutdown")
+        print(f"[runner] process {pid} reached iter "
+              f"{int(state.iter_idx)} OK", flush=True)
         return
 
     cfg = TrainConfig(
