@@ -66,6 +66,13 @@ def main() -> None:
                    help="iterations per device dispatch (lax.scan)")
     p.add_argument("--profile", type=str, default=None, metavar="TRACE_DIR",
                    help="capture a jax.profiler trace of the run")
+    p.add_argument("--tb-dir", type=str, default=None, metavar="LOG_DIR",
+                   help="also write metrics to a TensorBoard event log "
+                        "(lead host, log cadence — no per-step syncs)")
+    p.add_argument("--mlflow-uri", type=str, default=None, metavar="URI",
+                   help="also log params+metrics to an MLflow tracking "
+                        "store (reference train.py:24-30; requires the "
+                        "mlflow package)")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise at the first non-finite value inside jit")
     # multi-host bring-up (jax.distributed)
@@ -219,6 +226,8 @@ def main() -> None:
             ema_decay=args.ema_decay,
             device_dataset=args.device_dataset,
             stall_timeout_s=args.stall_timeout,
+            tb_dir=args.tb_dir,
+            mlflow_uri=args.mlflow_uri,
         )
         ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
         with ctx:

@@ -142,6 +142,12 @@ class TrainConfig:
     # (`train --max-restarts`, utils/supervise.py) can restart from the
     # latest checkpoint.  Must exceed log_every x step-time PLUS one cold
     # stage compile; the CLI uses 900 s.  0 keeps library calls exempt.
+    tb_dir: Optional[str] = None     # optional TensorBoard sink (lead host
+    # only, fed on the log cadence — zero per-step syncs); closes the
+    # reference's queryable-store feature (reference train.py:238-244)
+    mlflow_uri: Optional[str] = None  # optional MLflow tracking sink (same
+    # cadence/host discipline; requires the mlflow package — reference
+    # train.py:24-30)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,9 +18,19 @@ invocation).  Design, TPU-first:
 
 Endpoints:
   ``POST /synthesize?seed=0&nb_vec=10&stage=7`` -> ``audio/wav`` bytes
+    (``nb_vec`` is capped — each distinct value compiles a resident XLA
+    executable; default cap 120 ~ 6 min of audio per request)
   ``GET /healthz`` -> JSON liveness + device info
   ``GET /stats``   -> JSON counters (requests, batches, batch-size mean,
-                      per-signature compile cache)
+                      per-signature compile cache, live ``queue_depth``)
+
+Verification status: the micro-batched single-device path is
+load-tested on the real TPU (PERF.md r3: 8-way concurrent at 1.62x
+serial speedup, 0 padded slots).  The TIME-SHARDED long-clip route
+(solo wide requests spread over a multi-device mesh) is verified on the
+8-device virtual CPU mesh only — this deployment has one physical chip,
+so no real-ICI measurement exists yet (tests/test_serve.py::
+test_longclip_route_matches_unsharded pins numerical parity).
 """
 
 from __future__ import annotations
@@ -82,6 +92,7 @@ class SynthesisService:
         default_stage: int = 7,
         mesh="auto",
         longclip_min_nb_vec: int = 4,
+        max_nb_vec: int = 120,
     ):
         """``mesh``: "auto" builds a data mesh over all visible devices
         when there is more than one; ``None`` forces single-device; or
@@ -101,6 +112,12 @@ class SynthesisService:
             mesh = make_mesh() if len(jax.devices()) > 1 else None
         self.mesh = mesh
         self.longclip_min_nb_vec = longclip_min_nb_vec
+        # Every distinct (stage, nb_vec, bucket) signature compiles and
+        # RETAINS one XLA executable; an unbounded nb_vec lets a client
+        # grow the compile cache (and device scratch) without limit.  120
+        # vecs ~ 6 minutes of audio per request — beyond that, clients
+        # should chunk.
+        self.max_nb_vec = max_nb_vec
         self._fns: dict = {}  # stage -> synthesize fn (jit cache inside)
         self._longclip_fns: dict = {}  # stage -> time-sharded fn
         self._q: queue.Queue = queue.Queue()
@@ -137,6 +154,12 @@ class SynthesisService:
             raise ValueError(f"stage {stage} out of range")
         if nb_vec < 1:
             raise ValueError("nb_vec must be >= 1")
+        if nb_vec > self.max_nb_vec:
+            raise ValueError(
+                f"nb_vec {nb_vec} > max {self.max_nb_vec} (each distinct "
+                "nb_vec compiles a resident XLA executable; request long "
+                "audio in chunks)"
+            )
         req = _Request(int(seed), int(nb_vec), int(stage))
         self._q.put(req)
         return req.future
@@ -146,6 +169,10 @@ class SynthesisService:
         with self._stats_lock:
             snap = dict(self.stats)
             snap["signatures"] = list(self.stats["signatures"])
+        # Live load signal for operators/autoscalers: requests enqueued
+        # but not yet picked up by the batcher.  qsize() is approximate by
+        # nature (the batcher drains concurrently) — fine for a gauge.
+        snap["queue_depth"] = self._q.qsize() + len(self._pending)
         return snap
 
     def close(self) -> None:

@@ -152,7 +152,18 @@ def train(
     # Observability is per-run, not per-process: only the lead process
     # writes the CSV / previews and prints (checkpointing stays collective).
     lead = jax.process_index() == 0
-    logger = MetricLogger(output_dir, train_cfg.metric_window) if lead else None
+    logger = (
+        MetricLogger(
+            output_dir,
+            train_cfg.metric_window,
+            tb_dir=train_cfg.tb_dir,
+            mlflow_uri=train_cfg.mlflow_uri,
+            run_name=run_name,
+            params=dataclasses.asdict(train_cfg),
+        )
+        if lead
+        else None
+    )
 
     # Failure detection (SURVEY §5): a wedged device dispatch never
     # returns (PJRT gives Python no cancellation), so progress is

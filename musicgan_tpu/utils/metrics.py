@@ -1,4 +1,5 @@
-"""Host-side metric sink: sliding-window console stats + CSV log.
+"""Host-side metric sink: sliding-window console stats + CSV log, with
+optional TensorBoard / MLflow sinks.
 
 Replaces the reference's MLflow + tqdm observability (reference
 ``train.py:118-127,224-244``) with a dependency-free writer.  Device
@@ -6,6 +7,14 @@ metrics arrive as (possibly still-inflight) JAX scalars; they are only
 materialized on the logging cadence, so the train loop never blocks on a
 device sync per step (the reference syncs ~6 scalars every iteration,
 ``train.py:180-186``).
+
+The optional sinks close the reference's queryable-store feature
+(reference ``train.py:24-30,238-244``) without changing the sync
+discipline: they receive the SAME cadence-batched rows as the CSV (lead
+process only — the train loop only constructs a MetricLogger there).
+TensorBoard uses torch's bundled ``SummaryWriter``; MLflow is gated on
+the package being installed (it is not in this image) with a clear error
+naming the missing dependency.
 """
 
 from __future__ import annotations
@@ -28,6 +37,10 @@ class MetricLogger:
     def __init__(
         self, output_dir: str, window: int = 20,
         fields: tuple = _DEFAULT_FIELDS,
+        tb_dir: str | None = None,
+        mlflow_uri: str | None = None,
+        run_name: str | None = None,
+        params: Mapping | None = None,
     ):
         self.fields = fields
         os.makedirs(output_dir, exist_ok=True)
@@ -37,6 +50,30 @@ class MetricLogger:
         self._csv_file = None
         self._csv_writer = None
         self._t0 = time.perf_counter()
+
+        self._tb = None
+        if tb_dir:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(tb_dir)
+        self._mlflow = None
+        if mlflow_uri:
+            try:
+                import mlflow
+            except ImportError as e:
+                raise ImportError(
+                    "--mlflow-uri requires the 'mlflow' package (not "
+                    "installed in this environment); use --tb-dir for the "
+                    "bundled TensorBoard sink instead"
+                ) from e
+            mlflow.set_tracking_uri(mlflow_uri)
+            # reference parity: experiment 'music_gan', run per train
+            # invocation (reference train.py:24-30)
+            mlflow.set_experiment("music_gan")
+            mlflow.start_run(run_name=run_name)
+            if params:
+                mlflow.log_params(dict(params))
+            self._mlflow = mlflow
 
     def push(self, metrics: Mapping[str, float]) -> None:
         """Accumulate one step's (host) metric values into the windows."""
@@ -73,8 +110,21 @@ class MetricLogger:
                 self._csv_writer.writeheader()
         self._csv_writer.writerow(row)
         self._csv_file.flush()
+        if self._tb is not None:
+            for k, v in row.items():
+                if k not in ("step", "stage", "wall_s"):
+                    self._tb.add_scalar(f"train/{k}", v, step)
+            self._tb.add_scalar("train/stage", stage, step)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {k: v for k, v in row.items() if k != "step"}, step=step
+            )
         return row
 
     def close(self):
         if self._csv_file:
             self._csv_file.close()
+        if self._tb is not None:
+            self._tb.close()
+        if self._mlflow is not None:
+            self._mlflow.end_run()

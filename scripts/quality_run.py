@@ -13,6 +13,15 @@ Usage:
 
 from __future__ import annotations
 
+# Runnable from any cwd: put the repo root (this file's parent's parent)
+# on sys.path so `musicgan_tpu` imports without installation.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import dataclasses
 
@@ -46,6 +55,13 @@ def main() -> None:
                          "corpus needs ~8 GB; the v5e has 16)")
     ap.add_argument("--run-name", type=str, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-restarts", type=int, default=0, metavar="N",
+                    help="supervise the run like `train --max-restarts`: "
+                         "relaunch this same command with --resume up to N "
+                         "times on exit 75 (stall watchdog / preemption) "
+                         "or signal death — multi-hour schedule-div-1 runs "
+                         "must survive tunnel wedges unattended "
+                         "(VALIDATION.md r3)")
     ap.add_argument("--stall-timeout", type=float, default=900.0,
                     help="device-stall watchdog (exit 75 for a supervised "
                          "--resume relaunch); 0 disables")
@@ -55,6 +71,35 @@ def main() -> None:
                          "harness-pinned JAX_PLATFORMS env cannot be "
                          "overridden from the environment, only here")
     args = ap.parse_args()
+
+    if args.max_restarts > 0:
+        # Become the supervisor (same contract as `train --max-restarts`,
+        # musicgan_tpu/__main__.py): re-invoke this command minus
+        # --max-restarts, adding --resume from attempt 1 on.
+        from musicgan_tpu.utils.supervise import run_supervised
+
+        child_args, skip = [], False
+        for a in _sys.argv[1:]:
+            if skip:
+                skip = False
+                continue
+            if a == "--max-restarts":
+                skip = True
+                continue
+            if a.startswith("--max-restarts="):
+                continue
+            child_args.append(a)
+
+        def make_cmd(attempt):
+            extra = (
+                ["--resume"]
+                if attempt > 0 and "--resume" not in child_args
+                else []
+            )
+            return [_sys.executable, _os.path.abspath(__file__)] + \
+                child_args + extra
+
+        raise SystemExit(run_supervised(make_cmd, args.max_restarts))
 
     if args.platform:
         import jax
@@ -99,6 +144,13 @@ def main() -> None:
         resume=args.resume,
         max_iters=max_iters,
     )
+    from musicgan_tpu.train.loop import PREEMPTED
+    from musicgan_tpu.utils.watchdog import EXIT_STALLED
+
+    if PREEMPTED.is_set():
+        # same retry contract as the train CLI: a preemption flush is a
+        # retryable stop, so a supervising parent relaunches with --resume
+        raise SystemExit(EXIT_STALLED)
 
 
 if __name__ == "__main__":

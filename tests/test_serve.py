@@ -113,6 +113,18 @@ def test_invalid_args(service):
         service.submit(seed=0, nb_vec=0)
     with pytest.raises(ValueError):
         service.submit(seed=0, stage=99)
+    # compile-cache growth bound: each distinct nb_vec retains an XLA
+    # executable, so unbounded requests are refused
+    with pytest.raises(ValueError, match="nb_vec"):
+        service.submit(seed=0, nb_vec=service.max_nb_vec + 1)
+
+
+def test_stats_queue_depth_gauge(service):
+    snap = service.stats_snapshot()
+    assert "queue_depth" in snap and snap["queue_depth"] >= 0
+    fut = service.submit(seed=11, nb_vec=1, stage=STAGE)
+    fut.result(timeout=600)
+    assert service.stats_snapshot()["queue_depth"] == 0  # drained
 
 
 def test_http_surface(service):
