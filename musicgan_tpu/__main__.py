@@ -8,6 +8,7 @@ plus TPU-era extras (``--resume``, config overrides, ``export``,
     python -m musicgan_tpu view_audio --input-audio a.wav --image-idx 0
     python -m musicgan_tpu serve CKPT --port 8765
     python -m musicgan_tpu export CKPT -o gen.pt
+    python -m musicgan_tpu eval RUN_DIR --corpus /data/wav
 """
 
 from __future__ import annotations
@@ -123,6 +124,28 @@ def main() -> None:
                    help="micro-batching collection window")
     p.add_argument("--stage", type=int, default=7)
     p.add_argument("--no-warmup", action="store_true")
+
+    p = sub.add_parser(
+        "eval",
+        help="audition a run's checkpoints and score them against a corpus",
+    )
+    p.add_argument("run_dir", type=str,
+                   help="training output dir (contains checkpoints/)")
+    p.add_argument("--corpus", type=str, default=None,
+                   help="directory of corpus WAV tracks; when given, score "
+                        "each checkpoint's corpus-likeness + diversity "
+                        "after rendering")
+    p.add_argument("-o", "--out-dir", type=str, default=None,
+                   help="audition output dir (default RUN_DIR/audition)")
+    p.add_argument("--seeds", type=int, default=2)
+    p.add_argument("--nb-vec", type=int, default=2)
+    p.add_argument("--saves", type=str, default=None,
+                   help="comma-separated save indices (default: all)")
+    p.add_argument("--raw-weights", action="store_true",
+                   help="audition raw generator weights even when the "
+                        "checkpoint carries an EMA copy")
+    p.add_argument("--json-out", type=str, default=None,
+                   help="write the score table as JSON (requires --corpus)")
 
     sub.add_parser(
         "info", help="environment diagnostics: devices, native ops, autotune"
@@ -287,6 +310,21 @@ def main() -> None:
             stage=args.stage,
             warmup=not args.no_warmup,
         )
+
+    elif args.mode == "eval":
+        from .evaluate import audition_run, score_auditions
+
+        out = audition_run(
+            args.run_dir,
+            out_dir=args.out_dir,
+            seeds=args.seeds,
+            nb_vec=args.nb_vec,
+            saves=([int(s) for s in args.saves.split(",")]
+                   if args.saves else None),
+            raw_weights=args.raw_weights,
+        )
+        if args.corpus:
+            score_auditions(out, args.corpus, json_out=args.json_out)
 
     elif args.mode == "info":
         import json as _json

@@ -1,21 +1,31 @@
-"""Unit tests for the corpus-referenced spectral metric (scripts/eval_quality.py).
+"""Tests for the evaluation subsystem (musicgan_tpu/evaluate.py and its
+script/CLI wrappers).
 
-The metric exists because spectral flatness is confounded across growth
-stages (VALIDATION.md r3); these tests pin the two properties the
-write-up relies on: gain invariance and frequency discrimination.
+The corpus-referenced metric exists because spectral flatness is
+confounded across growth stages (VALIDATION.md r3); the unit tests pin
+the two properties the write-up relies on: gain invariance and frequency
+discrimination.  The end-to-end test drives the full eval surface
+(train -> audition -> score) the way ``musicgan_tpu eval`` does.
 """
 
 import importlib.util
+import json
 import os
 
 import numpy as np
 
+from musicgan_tpu import evaluate as eval_quality  # metric under test
+
+# the script wrapper must keep re-exporting the metric symbols (notebooks
+# and older tooling import them from there)
 _spec = importlib.util.spec_from_file_location(
-    "eval_quality",
+    "eval_quality_script",
     os.path.join(os.path.dirname(__file__), "..", "scripts", "eval_quality.py"),
 )
-eval_quality = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(eval_quality)
+_script = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_script)
+assert _script.band_profile is eval_quality.band_profile
+assert _script.inter_sample_dist is eval_quality.inter_sample_dist
 
 SR = 44100
 
@@ -70,3 +80,60 @@ def test_inter_sample_dist_detects_mode_collapse():
     assert d_col < 0.1 * d_div
     # degenerate input: a single sample has no pairwise distance
     assert np.isnan(eval_quality.inter_sample_dist(diverse[:1]))
+
+
+def test_audition_and_score_end_to_end(tmp_path):
+    """The `musicgan_tpu eval` surface: a tiny training run's checkpoints
+    are auditioned (WAVs + summary JSONs at each save's recorded stage)
+    and scored against a corpus — exercising restore, EMA selection,
+    synthesis, save_wav, and the score table in one pass."""
+    from tiny_cfg import TINY_MODEL
+
+    from musicgan_tpu.audio.ingest import ShardWriter
+    from musicgan_tpu.audio.io import save_wav
+    from musicgan_tpu.config import TrainConfig
+    from musicgan_tpu.evaluate import audition_run, score_auditions
+    from musicgan_tpu.train import train
+
+    w = ShardWriter(str(tmp_path / "ds"), samples_per_shard=6)
+    w.add(np.random.default_rng(0)
+          .uniform(-1, 1, (12, 2, 512, 512)).astype(np.float32))
+    w.close()
+    cfg = TrainConfig(batch_size=4, save_every=3, log_every=10,
+                      nb_preview=1, chunk_steps=1, ema_decay=0.99)
+    run_dir = str(tmp_path / "run")
+    train("eval_e2e", str(tmp_path / "ds"), run_dir, cfg, TINY_MODEL,
+          max_iters=4, mesh=None)
+
+    out = audition_run(run_dir, seeds=2, nb_vec=1, model_cfg=TINY_MODEL,
+                       verbose=False)
+    wavs = sorted(f for f in os.listdir(out) if f.endswith(".wav"))
+    assert len(wavs) >= 2  # >=1 save x 2 seeds
+    with open(os.path.join(
+            out, sorted(f for f in os.listdir(out)
+                        if f.endswith(".json"))[0])) as f:
+        summary = json.load(f)
+    assert summary["ema"] is True  # EMA weights picked when present
+    assert len(summary["flatness"]) == 2
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    t = np.arange(SR) / SR
+    for i, f0 in enumerate((220.0, 880.0)):
+        save_wav(str(corpus / f"tone{i}.wav"),
+                 (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32), SR)
+
+    res = score_auditions(out, str(corpus),
+                          json_out=str(tmp_path / "scores.json"),
+                          verbose=False)
+    assert np.isfinite(res["corpus_inter_track_dist"])
+    save_keys = [k for k in res if isinstance(k, int)]
+    assert save_keys, "no per-save scores produced"
+    row = res[save_keys[0]]
+    assert set(row) == {"nearest_track_dist", "mean_profile_dist",
+                        "inter_sample_dist", "nearest_track_coverage",
+                        "n_samples"}
+    assert row["n_samples"] == 2
+    assert np.isfinite(row["nearest_track_dist"])
+    with open(tmp_path / "scores.json") as f:
+        assert json.load(f)  # table persisted

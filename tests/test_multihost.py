@@ -25,6 +25,12 @@ from musicgan_tpu.train.step import init_train_state
 
 _RUNNER = os.path.join(os.path.dirname(__file__), "_multihost_runner.py")
 
+# Timeouts here look extravagant for 4-iteration runs, deliberately: a
+# COLD .jax_cache full-suite run on the 1-core host compiles the train
+# graph inside 2 subprocesses at once while other tests also compile
+# (observed: suite 1010 s cold vs 716 s warm, and the 540/480 s limits
+# flaked exactly twice on cold runs).  Warm runs never wait these out.
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -64,7 +70,7 @@ def test_two_process_training_matches_single_host(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"runner failed:\n{o[-3000:]}"
 
@@ -136,7 +142,7 @@ def test_two_process_preemption_agrees_collectively(tmp_path):
     ]
     # wait for real training progress (lead flushes metrics.csv per row)
     csv_path = os.path.join(out_mh, "metrics.csv")
-    deadline = time.time() + 480
+    deadline = time.time() + 900
     while time.time() < deadline:
         try:
             if os.path.getsize(csv_path) > 0:
@@ -150,7 +156,7 @@ def test_two_process_preemption_agrees_collectively(tmp_path):
         raise AssertionError("no training progress before deadline")
 
     procs[1].send_signal(signal.SIGUSR1)  # the NON-lead process only
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"runner failed:\n{o[-3000:]}"
     assert all("preempted at iter" in o for o in outs)
@@ -205,7 +211,7 @@ def test_two_process_sigterm_exit75_then_bitexact_resume(tmp_path):
     procs = _launch_pair(f"127.0.0.1:{_free_port()}", ds, out_a,
                          "preempt75", env)
     csv_path = os.path.join(out_a, "metrics.csv")
-    deadline = time.time() + 480
+    deadline = time.time() + 900
     while time.time() < deadline:
         try:
             if os.path.getsize(csv_path) > 0:
@@ -219,7 +225,7 @@ def test_two_process_sigterm_exit75_then_bitexact_resume(tmp_path):
         raise AssertionError("no training progress before deadline")
 
     procs[0].send_signal(signal.SIGTERM)  # the LEAD process
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == EXIT_STALLED, (
             f"expected retryable exit {EXIT_STALLED}, got "
@@ -241,7 +247,7 @@ def test_two_process_sigterm_exit75_then_bitexact_resume(tmp_path):
     # --- phase 2: supervised-style relaunch with resume --------------------
     procs = _launch_pair(f"127.0.0.1:{_free_port()}", ds, out_a,
                          f"resume:{target}", env)
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"resume failed:\n{o[-3000:]}"
 
@@ -249,7 +255,7 @@ def test_two_process_sigterm_exit75_then_bitexact_resume(tmp_path):
     out_b = str(tmp_path / "out_control")
     procs = _launch_pair(f"127.0.0.1:{_free_port()}", ds, out_b,
                          f"full:{target}", env)
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"control failed:\n{o[-3000:]}"
 
