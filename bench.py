@@ -112,9 +112,14 @@ def _cache_load() -> dict:
 def _cache_update(rec: dict) -> None:
     """Write-through of one fresh metric record (last-known-good store)."""
     cache = _cache_load()
-    cache[rec["metric"]] = {**rec, "measured_at": time.strftime(
-        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-    )}
+    cache[rec["metric"]] = {
+        **rec,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # ns-resolution write sequence: freshness detection (main())
+        # cannot rely on the 1 s measured_at when a child emits within
+        # the same second as the previous cache write
+        "seq": time.time_ns(),
+    }
     tmp = f"{_CACHE_PATH}.tmp.{time.time_ns()}"
     with open(tmp, "w") as f:
         json.dump(cache, f, indent=1)
@@ -307,24 +312,35 @@ def _run_device_child() -> int:
     ).returncode
 
 
-def _emit_stale_device_metrics() -> bool:
+def _emit_stale_device_metrics(skip: frozenset = frozenset()) -> bool:
     """Device is gone: replay the last-known-good device metrics marked
-    stale (headline last).  Returns False when there is nothing cached."""
+    stale (headline last).  ``skip`` holds metrics the child already
+    emitted FRESH this run (detected via cache ``measured_at`` deltas) —
+    re-printing those as stale would put duplicate, self-contradictory
+    records on the stream.  Returns False when the HEADLINE metric (the
+    tail line the driver parses) is neither cached nor freshly emitted:
+    a partial cache without the headline must fail loudly, not let a
+    non-headline record land on the tail line and be misparsed."""
+    headline = _DEVICE_METRICS[-1]
     cache = _cache_load()
-    found = False
+    if headline not in cache and headline not in skip:
+        return False
     for name in _DEVICE_METRICS:
         rec = cache.get(name)
-        if rec is None:
+        if rec is None or name in skip:
             continue
         print(json.dumps({**rec, "stale": True}), flush=True)
-        found = True
-    return found
+    return True
 
 
 def main() -> None:
     import sys
 
     bench_preproc()  # host-side: fresh regardless of device health
+    before = {
+        n: (_cache_load().get(n) or {}).get("seq")
+        for n in _DEVICE_METRICS
+    }
     rc = _run_device_child()
     if rc != 0:
         print(
@@ -339,7 +355,12 @@ def main() -> None:
         # The device is wedged/dead.  Do NOT erase the perf record: emit
         # the last healthy bench's device metrics marked stale, so the
         # round still records a full (if dated) table plus the fresh
-        # host metric above.
+        # host metric above.  Metrics the child DID emit fresh before
+        # wedging (their cache timestamps moved) are not replayed.
+        fresh = frozenset(
+            n for n in _DEVICE_METRICS
+            if (_cache_load().get(n) or {}).get("seq") != before[n]
+        )
         print(
             json.dumps({
                 "metric": "bench_warning",
@@ -350,9 +371,10 @@ def main() -> None:
             }),
             flush=True,
         )
-        if not _emit_stale_device_metrics():
+        if not _emit_stale_device_metrics(skip=fresh):
             print(
-                "bench: device gone and no cached metrics; exiting 75",
+                "bench: device gone and no cached headline metric; "
+                "exiting 75",
                 file=sys.stderr,
                 flush=True,
             )

@@ -312,6 +312,10 @@ def main() -> None:
         )
 
     elif args.mode == "eval":
+        if args.json_out and not args.corpus:
+            parser.error("eval: --json-out requires --corpus (scores are "
+                         "corpus-referenced; without a corpus no JSON is "
+                         "produced)")
         from .evaluate import audition_run, score_auditions
 
         out = audition_run(

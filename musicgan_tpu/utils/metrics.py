@@ -53,7 +53,17 @@ class MetricLogger:
 
         self._tb = None
         if tb_dir:
-            from torch.utils.tensorboard import SummaryWriter
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except ImportError as e:
+                # torch ships the writer but it needs the separate
+                # `tensorboard` package at import time; surface that as
+                # actionably as the mlflow branch below does.
+                raise ImportError(
+                    "--tb-dir requires the 'tensorboard' package (torch's "
+                    "SummaryWriter imports it); install tensorboard or "
+                    "drop --tb-dir for the CSV/console logger"
+                ) from e
 
             self._tb = SummaryWriter(tb_dir)
         self._mlflow = None

@@ -13,14 +13,9 @@ Usage:
 
 from __future__ import annotations
 
-# Runnable from any cwd: put the repo root (this file's parent's parent)
-# on sys.path so `musicgan_tpu` imports without installation.
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import os as _os
 import sys as _sys
-
-_sys.path.insert(
-    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-)
 
 import argparse
 import dataclasses

@@ -80,6 +80,57 @@ def test_dead_device_with_empty_cache_exits_75(bench, monkeypatch):
     assert e.value.code == 75
 
 
+def test_partial_cache_without_headline_exits_75(bench, monkeypatch):
+    """A cache holding only non-headline metrics (child wedged mid-phase
+    in a previous run, before synthesis) must NOT let a non-headline
+    record land on the tail line the driver parses as the headline."""
+    _seed_cache(bench, {
+        "train_steps_per_sec_stage0": 5844.31,
+        "train_steps_per_sec_stage7": 6.51,
+        # gen_audio_sec_per_wall_sec deliberately absent
+    })
+    monkeypatch.setattr(bench, "_run_device_child", lambda: 75)
+    monkeypatch.setattr(bench, "bench_preproc", lambda: None)
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 75
+
+
+def test_stale_replay_skips_metrics_the_child_emitted_fresh(
+    bench, capsys, monkeypatch
+):
+    """A child that freshly emits stage0 and THEN wedges must not see
+    stage0 replayed again marked stale (duplicate, self-contradictory
+    records); the un-reached metrics are replayed from the cache."""
+    _seed_cache(bench, {
+        "train_steps_per_sec_stage0": 5000.0,
+        "train_steps_per_sec_stage7": 6.51,
+        "gen_audio_sec_per_wall_sec": 2627.21,
+    })
+
+    def child_emits_stage0_then_wedges():
+        bench._emit("train_steps_per_sec_stage0", 5900.0, "steps/s/chip", 1.0)
+        return 75
+
+    monkeypatch.setattr(
+        bench, "_run_device_child", child_emits_stage0_then_wedges
+    )
+    monkeypatch.setattr(bench, "bench_preproc", lambda: None)
+
+    bench.main()
+
+    lines = [json.loads(x)
+             for x in capsys.readouterr().out.strip().splitlines()]
+    stage0 = [r for r in lines if r["metric"] == "train_steps_per_sec_stage0"]
+    # fresh emissions only (two child attempts), never a stale replay
+    assert all(not r.get("stale") for r in stage0)
+    stale = [r for r in lines if r.get("stale")]
+    assert [r["metric"] for r in stale] == [
+        "train_steps_per_sec_stage7", "gen_audio_sec_per_wall_sec"
+    ]
+    assert lines[-1]["metric"] == "gen_audio_sec_per_wall_sec"
+
+
 def test_healthy_device_emits_nothing_stale(bench, capsys, monkeypatch):
     monkeypatch.setattr(bench, "_run_device_child", lambda: 0)
     monkeypatch.setattr(bench, "bench_preproc", lambda: None)

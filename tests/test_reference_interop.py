@@ -188,9 +188,29 @@ def _import_reference_audio_functions():
     ta.save = lambda path, wav, sr: captured.update(
         path=path, wav=wav.detach().numpy(), sr=sr
     )
-    sys.modules.setdefault("torchaudio", ta)
-    sys.modules.setdefault("torchaudio.functional", taf)
-    return _import_reference_subpackage("audio.functions"), captured
+    # Install the stubs UNCONDITIONALLY (not setdefault): in an
+    # environment where real torchaudio exists, setdefault would keep it,
+    # the stubbed `ta.save` would never run, and `captured` would stay
+    # empty — the test must behave identically everywhere.  The reference
+    # module binds the stub objects at import, so sys.modules can be
+    # restored right after the import.
+    prev = {n: sys.modules.get(n)
+            for n in ("torchaudio", "torchaudio.functional")}
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.functional"] = taf
+    try:
+        # Force a fresh import so the module binds THIS call's stub (and
+        # thus this call's `captured`), even if a previous call cached it.
+        sys.modules.pop("music_gan.audio.functions", None)
+        sys.modules.pop("music_gan.audio", None)
+        mod = _import_reference_subpackage("audio.functions")
+    finally:
+        for name, old in prev.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
+    return mod, captured
 
 
 def test_waveform_parity_with_reference_generate_path(tmp_path):
