@@ -63,6 +63,26 @@ def _rfft_batch(frames: np.ndarray) -> np.ndarray:
         return sfft.rfft(frames, axis=1, workers=os.cpu_count())
 
 
+def _framing_setup(
+    x: np.ndarray, n_fft: int, hop: int
+) -> tuple[np.ndarray, int, np.ndarray]:
+    """Shared centered-framing geometry: returns ``(view, t, win_n)`` —
+    the zero-copy strided frame view (``view[:t]`` are the STFT frames,
+    pre-window), the frame count, and the window with the
+    1/sqrt(sum(win^2)) normalization FOLDED IN (the DFT is linear — saves
+    a full pass over the spectrogram)."""
+    pad = n_fft // 2
+    t = 1 + len(x) // hop
+    xp = np.pad(x.astype(np.float32), (pad, pad), mode="reflect")
+    total = (t - 1) * hop + n_fft
+    if len(xp) < total:
+        xp = np.pad(xp, (0, total - len(xp)))
+    view = np.lib.stride_tricks.sliding_window_view(xp, n_fft)[::hop]
+    win = hann_window(n_fft)
+    norm = np.sqrt(np.sum(win.astype(np.float64) ** 2)).astype(np.float32)
+    return view, t, win / norm
+
+
 def _stft_frames(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     """Centered, window-normalized STFT -> complex64 ``(T, n_fft//2+1)``
     FRAME-major (the natural batched-rfft layout; the native tail consumes
@@ -70,21 +90,11 @@ def _stft_frames(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
 
     Same semantics as :func:`musicgan_tpu.audio.stft.stft`.  Hot path of
     ``create_dataset``: frames come from a zero-copy strided view, the
-    1/sqrt(sum(win^2)) normalization is FOLDED INTO the window (the DFT is
-    linear — saves a full pass over the spectrogram), and the batched rfft
-    runs in the fastest host backend (:func:`_rfft_batch`).
+    window normalization is folded in (:func:`_framing_setup`), and the
+    batched rfft runs in the fastest host backend (:func:`_rfft_batch`).
     """
-    pad = n_fft // 2
-    t = 1 + len(x) // hop
-    xp = np.pad(x.astype(np.float32), (pad, pad), mode="reflect")
-    total = (t - 1) * hop + n_fft
-    if len(xp) < total:
-        xp = np.pad(xp, (0, total - len(xp)))
-    frames = np.lib.stride_tricks.sliding_window_view(xp, n_fft)[::hop]
-    win = hann_window(n_fft)
-    norm = np.sqrt(np.sum(win.astype(np.float64) ** 2)).astype(np.float32)
-    frames = frames[:t] * (win / norm)[None, :]
-    return _rfft_batch(frames)
+    view, t, win_n = _framing_setup(x, n_fft, hop)
+    return _rfft_batch(view[:t] * win_n[None, :])
 
 
 def _stft_np(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
@@ -129,6 +139,41 @@ def process_wav(
     return process_signal(signal, cfg)
 
 
+_BLOCK_FRAMES = 1024  # ~4 MB windowed + ~4 MB spectrum per block
+
+
+def _process_signal_native_blocked(
+    signal: np.ndarray, cfg: AudioConfig
+) -> np.ndarray | None:
+    """Blocked window->rfft->pack pipeline over the streaming native API.
+
+    Raises ImportError when torch is unavailable (the block recycle needs
+    torch's ``out=`` rfft; scipy's has no output argument) — the caller
+    falls back to the one-shot kernel.
+    """
+    import torch as th
+
+    from .. import native
+
+    view, t, win_n = _framing_setup(signal, cfg.n_fft, cfg.stft_stride)
+    if (t - 1) // cfg.n_vec == 0:
+        return None  # shorter than one chunk (same rule as the one-shot)
+    ld = cfg.n_fft // 2 + 1
+    stream = native.PackStream(
+        t, ld, _bark_scale_np(cfg.n_bins, cfg.sample_rate), cfg.n_vec
+    )
+    nb0 = min(_BLOCK_FRAMES, t)
+    fscr = np.empty((nb0, cfg.n_fft), np.float32)
+    zscr = np.empty((nb0, ld), np.complex64)
+    fth, zth = th.from_numpy(fscr), th.from_numpy(zscr)
+    for i0 in range(0, t, _BLOCK_FRAMES):
+        nb = min(_BLOCK_FRAMES, t - i0)
+        np.multiply(view[i0:i0 + nb], win_n[None, :], out=fscr[:nb])
+        th.fft.rfft(fth[:nb], dim=1, out=zth[:nb])
+        stream.feed(zscr[:nb])
+    return stream.finish()
+
+
 def process_signal(
     signal: np.ndarray, cfg: AudioConfig = _CFG, backend: str = "auto"
 ) -> np.ndarray | None:
@@ -141,22 +186,37 @@ def process_signal(
     is available.  "numpy" is the reference mirror the equality tests pin
     to the device pipeline; the "torch" (ATen) tail is kept as an
     equality-tested alternative for hosts where ATen wins.
+
+    The native path runs BLOCKED: window multiply, rfft, and the fused
+    pack tail per ~1k-frame block through the streaming kernel API
+    (:class:`musicgan_tpu.native.PackStream`) — the two whole-track ~40 MB
+    temporaries (windowed frames, complex spectrogram) never materialize,
+    so the pipeline stays cache-resident up to the packed output and
+    per-track memory is bounded regardless of track length.  Bit-exact vs
+    the one-shot kernel for any block split (tested).
     """
-    zf = _stft_frames(signal, cfg.n_fft, cfg.stft_stride)  # (T, n_bins+1)
-    if zf.shape[0] < cfg.n_vec:
-        return None
     if backend == "auto":
         from .. import native
 
         backend = "native" if native.is_available() else "numpy"
 
     if backend == "native":
-        from .. import native
+        try:
+            return _process_signal_native_blocked(signal, cfg)
+        except ImportError:
+            # no torch (the blocked path needs its out= rfft): one-shot
+            zf = _stft_frames(signal, cfg.n_fft, cfg.stft_stride)
+            if zf.shape[0] < cfg.n_vec:
+                return None
+            from .. import native
 
-        # frame-major + ld = n_bins + 1: the Nyquist column drops for free
-        return native.magn_phase_pack(
-            zf, _bark_scale_np(cfg.n_bins, cfg.sample_rate), cfg.n_vec
-        )
+            return native.magn_phase_pack(
+                zf, _bark_scale_np(cfg.n_bins, cfg.sample_rate), cfg.n_vec
+            )
+
+    zf = _stft_frames(signal, cfg.n_fft, cfg.stft_stride)  # (T, n_bins+1)
+    if zf.shape[0] < cfg.n_vec:
+        return None
     z = np.ascontiguousarray(zf.T[:-1, :])  # bin-major mirrors' layout
     if backend == "torch":
         magn, phase = _magn_phase_torch(z, cfg)

@@ -21,7 +21,9 @@ import threading
 
 import numpy as np
 
-__all__ = ["is_available", "magn_phase_pack", "build", "lib_path"]
+__all__ = [
+    "is_available", "magn_phase_pack", "PackStream", "build", "lib_path",
+]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "host_ops.cpp")
@@ -103,12 +105,82 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.mg_pack_begin.restype = ctypes.c_void_p
+        lib.mg_pack_begin.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.mg_pack_frames.restype = ctypes.c_int
+        lib.mg_pack_frames.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.mg_pack_finish.restype = ctypes.c_int
+        lib.mg_pack_finish.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.mg_pack_free.restype = None
+        lib.mg_pack_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
 
 
 def is_available() -> bool:
     return _load() is not None
+
+
+class PackStream:
+    """Streaming counterpart of :func:`magn_phase_pack`.
+
+    Feed frame-major complex64 blocks as they are produced (window
+    multiply + rfft per block stay cache-resident instead of
+    materializing the whole ~40 MB spectrogram), then :meth:`finish` to
+    normalize and get the packed array.  Identical arithmetic to the
+    one-shot entry (which IS this stream driven with a single block) —
+    bit-exact for any block split, pinned by tests/test_ingest.py.
+
+    ``t_total`` must be the exact number of frames that will be fed (the
+    trim geometry needs it up front).
+    """
+
+    def __init__(self, t_total: int, ld: int, bark: np.ndarray, n_vec: int):
+        lib = _load()
+        assert lib is not None, "native library unavailable"
+        bark = np.ascontiguousarray(bark, np.float32)
+        n_bins = bark.shape[0]
+        self._n_chunks = (t_total - 1) // n_vec
+        if self._n_chunks == 0 or n_bins > ld:
+            raise ValueError("track shorter than one chunk or bad geometry")
+        self._lib = lib
+        self._t_total, self._ld = t_total, ld
+        self._fed = 0
+        self.out = np.empty((self._n_chunks, 2, n_bins, n_vec), np.float32)
+        self._st = lib.mg_pack_begin(
+            t_total, ld, n_bins, bark.ctypes.data, n_vec
+        )
+        if not self._st:
+            raise MemoryError("mg_pack_begin failed")
+
+    def feed(self, z_block: np.ndarray) -> None:
+        z_block = np.ascontiguousarray(z_block, np.complex64)
+        t_block, ld = z_block.shape
+        assert ld == self._ld and self._st
+        rc = self._lib.mg_pack_frames(
+            self._st, z_block.ctypes.data, t_block, self.out.ctypes.data
+        )
+        if rc != 0:
+            raise ValueError(f"mg_pack_frames rc={rc} (overfeed?)")
+        self._fed += t_block
+
+    def finish(self) -> np.ndarray:
+        assert self._st and self._fed == self._t_total
+        st, self._st = self._st, None
+        rc = self._lib.mg_pack_finish(st, self.out.ctypes.data)
+        if rc != 0:
+            raise ValueError(f"mg_pack_finish rc={rc}")
+        return self.out
+
+    def __del__(self):
+        if getattr(self, "_st", None):
+            self._lib.mg_pack_free(self._st)
 
 
 def magn_phase_pack(

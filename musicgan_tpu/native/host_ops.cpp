@@ -8,8 +8,19 @@
 // normalization sweeps, a layout transpose, a packing copy).  This kernel
 // fuses the whole post-FFT tail into one streaming pass over the
 // FRAME-MAJOR spectrogram — the layout the batched rfft produces — so the
-// 40+ MB bin-major transpose the numpy path pays never happens.  Every
-// stage is shaped for the auto-vectorizer (verified with -fopt-info-vec):
+// 40+ MB bin-major transpose the numpy path pays never happens.
+//
+// The kernel is exposed TWO ways with identical arithmetic:
+//   * one-shot  mg_magn_phase_pack(z, T, ...)      — whole spectrogram;
+//   * streaming mg_pack_begin / mg_pack_frames / mg_pack_finish — the
+//     caller feeds frame blocks as it produces them (window multiply +
+//     rfft per block stay cache-resident instead of materializing two
+//     ~40 MB temporaries), and per-track memory is bounded regardless of
+//     track length.  The one-shot entry is the streaming API driven with
+//     a single block, so parity tests on either pin both.
+//
+// Every stage is shaped for the auto-vectorizer (verified with
+// -fopt-info-vec):
 //
 //   per frame t (row of z, contiguous):
 //     stage A (f32, vector): magnitude sqrt(re^2+im^2)*bark and phase
@@ -110,76 +121,123 @@ inline void lane_minmax(const float* v, int64_t n, float* lo, float* hi) {
     }
 }
 
+// Streaming pack state: everything the per-frame loop carries between
+// blocks.  One allocation; the float scratch lives directly after the
+// struct.
+struct PackState {
+    int64_t T, ld, n_bins, n_vec;
+    int64_t trim;        // leading frames dropped after normalization
+    int64_t t;           // global frame cursor (0 .. T)
+    int64_t blk_fill, blk_k0;
+    float mlo[kLanes], mhi[kLanes], plo[kLanes], phi_[kLanes];
+    float* phi_prev;     // (n_bins)
+    float* mrow;         // (n_bins)
+    float* prow;         // (n_bins)
+    float* mblk;         // (n_bins, kBlock)
+    float* pblk;         // (n_bins, kBlock)
+    float* bark;         // (n_bins) copy — caller's buffer may not outlive us
+};
+
+void flush_block(PackState* st, float* out, int64_t fill, int64_t k0) {
+    // (n_bins, kBlock) staging -> out[c][ch][b][v0 .. v0+fill)
+    const int64_t n_vec = st->n_vec, n_bins = st->n_bins;
+    const int64_t chan_stride = n_bins * n_vec;
+    const int64_t c = k0 / n_vec, v0 = k0 % n_vec;
+    float* mbase = out + c * 2 * chan_stride + v0;
+    float* pbase = mbase + chan_stride;
+    const float* mblk = st->mblk;
+    const float* pblk = st->pblk;
+    if (fill == kBlock) {
+        for (int64_t b = 0; b < n_bins; ++b) {
+            std::memcpy(mbase + b * n_vec, mblk + b * kBlock,
+                        kBlock * sizeof(float));
+            std::memcpy(pbase + b * n_vec, pblk + b * kBlock,
+                        kBlock * sizeof(float));
+        }
+    } else {
+        for (int64_t b = 0; b < n_bins; ++b) {
+            std::memcpy(mbase + b * n_vec, mblk + b * kBlock,
+                        fill * sizeof(float));
+            std::memcpy(pbase + b * n_vec, pblk + b * kBlock,
+                        fill * sizeof(float));
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
 
-// z:    (T, ld) complex64, row-major, interleaved re/im (frame-major, the
-//       batched-rfft layout); only the first n_bins columns are used (the
-//       caller drops the Nyquist bin by passing n_bins = ld - 1).
-// bark: (n_bins,) float32 per-bin magnitude weight
-// out:  (n_chunks, 2, n_bins, n_vec) float32, n_chunks = (T-1)/n_vec
-// Returns 0 on success, -1 on bad geometry, -2 on allocation failure.
-int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
-                       const float* bark, int64_t n_vec, float* out) {
-    const int64_t td = T - 1;            // frames after the first-difference
-    if (td < n_vec || n_vec <= 0 || n_bins <= 0 || n_bins > ld) return -1;
-    const int64_t n_chunks = td / n_vec;
-    const int64_t trim = td % n_vec;     // leading frames dropped after norm
+// Begin a streaming pack over T total frames (the trim geometry needs the
+// final count up front).  bark is copied.  Returns NULL on bad geometry
+// or allocation failure; free with mg_pack_finish or mg_pack_free.
+void* mg_pack_begin(int64_t T, int64_t ld, int64_t n_bins,
+                    const float* bark, int64_t n_vec) {
+    const int64_t td = T - 1;
+    if (td < n_vec || n_vec <= 0 || n_bins <= 0 || n_bins > ld) return nullptr;
+    const int64_t scratch = (4 * n_bins + 2 * n_bins * kBlock);
+    void* mem = std::malloc(sizeof(PackState) + scratch * sizeof(float));
+    if (!mem) return nullptr;
+    PackState* st = static_cast<PackState*>(mem);
+    float* f = reinterpret_cast<float*>(st + 1);
+    st->T = T; st->ld = ld; st->n_bins = n_bins; st->n_vec = n_vec;
+    st->trim = td % n_vec;
+    st->t = 0;
+    st->blk_fill = 0; st->blk_k0 = 0;
+    st->phi_prev = f;
+    st->mrow = f + n_bins;
+    st->prow = f + 2 * n_bins;
+    st->mblk = f + 3 * n_bins;
+    st->pblk = st->mblk + n_bins * kBlock;
+    st->bark = st->pblk + n_bins * kBlock;
+    std::memcpy(st->bark, bark, n_bins * sizeof(float));
+    for (int j = 0; j < kLanes; ++j) {
+        st->mlo[j] = st->plo[j] = INFINITY;
+        st->mhi[j] = st->phi_[j] = -INFINITY;
+    }
+    return st;
+}
+
+void mg_pack_free(void* handle) { std::free(handle); }
+
+// Feed the next T_block frames (rows of the frame-major complex64
+// spectrogram, interleaved re/im, leading dimension st->ld).  out is the
+// FULL output buffer — writes land positionally, so the caller passes the
+// same pointer every time.  Returns 0 on success, -1 on overfeed.
+int mg_pack_frames(void* handle, const float* z, int64_t T_block,
+                   float* out) {
+    PackState* st = static_cast<PackState*>(handle);
+    if (st->t + T_block > st->T) return -1;
+    const int64_t n_bins = st->n_bins, ld = st->ld, n_vec = st->n_vec;
+    const int64_t trim = st->trim;
     const double pi = 3.14159265358979323846;
     const double two_pi = 2.0 * pi;
-
-    // scratch: phi_prev | mrow | prow | mblk (n_bins x kBlock) | pblk
-    // (restrict-qualified: all carved from one allocation, so without it
-    // the vectorizer versions every loop with runtime aliasing checks)
-    const int64_t fsz = 3 * n_bins;
-    float* buf = static_cast<float*>(
-        std::malloc((fsz + 2 * n_bins * kBlock) * sizeof(float)));
-    if (!buf) return -2;
-    float* __restrict__ phi_prev = buf;
-    float* __restrict__ mrow = buf + n_bins;
-    float* __restrict__ prow = buf + 2 * n_bins;
-    float* __restrict__ mblk = buf + fsz;        // (n_bins, kBlock)
-    float* __restrict__ pblk = mblk + n_bins * kBlock;
-
-    for (int64_t b = 0; b < n_bins; ++b) {
-        phi_prev[b] = fast_atan2(z[2 * b + 1], z[2 * b]);
-    }
-
+    // restrict-qualified locals: all scratch is carved from one
+    // allocation, so without it the vectorizer versions every loop with
+    // runtime aliasing checks
+    float* __restrict__ phi_prev = st->phi_prev;
+    float* __restrict__ mrow = st->mrow;
+    float* __restrict__ prow = st->prow;
+    float* __restrict__ mblk = st->mblk;
+    float* __restrict__ pblk = st->pblk;
+    const float* __restrict__ bark = st->bark;
     float mlo[kLanes], mhi[kLanes], plo[kLanes], phi_[kLanes];
-    for (int j = 0; j < kLanes; ++j) {
-        mlo[j] = plo[j] = INFINITY;
-        mhi[j] = phi_[j] = -INFINITY;
-    }
+    std::memcpy(mlo, st->mlo, sizeof(mlo));
+    std::memcpy(mhi, st->mhi, sizeof(mhi));
+    std::memcpy(plo, st->plo, sizeof(plo));
+    std::memcpy(phi_, st->phi_, sizeof(phi_));
+    int64_t blk_fill = st->blk_fill, blk_k0 = st->blk_k0;
 
-    const int64_t chan_stride = n_bins * n_vec;       // one channel plane
-    const int64_t chunk_stride = 2 * chan_stride;     // one chunk
-    int64_t blk_fill = 0, blk_k0 = 0;  // staging block state
-
-    auto flush_block = [&](int64_t fill, int64_t k0) {
-        // (n_bins, kBlock) staging -> out[c][ch][b][v0 .. v0+fill)
-        const int64_t c = k0 / n_vec, v0 = k0 % n_vec;
-        float* mbase = out + c * chunk_stride + v0;
-        float* pbase = mbase + chan_stride;
-        if (fill == kBlock) {
+    for (int64_t r = 0; r < T_block; ++r) {
+        const int64_t t = st->t + r;       // global frame index
+        const float* row = z + 2 * r * ld;
+        if (t == 0) {
+            // first frame seeds the phase carry; produces no output row
             for (int64_t b = 0; b < n_bins; ++b) {
-                std::memcpy(mbase + b * n_vec, mblk + b * kBlock,
-                            kBlock * sizeof(float));
-                std::memcpy(pbase + b * n_vec, pblk + b * kBlock,
-                            kBlock * sizeof(float));
+                phi_prev[b] = fast_atan2(row[2 * b + 1], row[2 * b]);
             }
-        } else {
-            for (int64_t b = 0; b < n_bins; ++b) {
-                std::memcpy(mbase + b * n_vec, mblk + b * kBlock,
-                            fill * sizeof(float));
-                std::memcpy(pbase + b * n_vec, pblk + b * kBlock,
-                            fill * sizeof(float));
-            }
+            continue;
         }
-    };
-
-    for (int64_t t = 1; t < T; ++t) {
-        const float* row = z + 2 * t * ld;
         // stage A (f32 vector): magnitude + raw phase
         for (int64_t b = 0; b < n_bins; ++b) {
             const float re = row[2 * b], im = row[2 * b + 1];
@@ -221,21 +279,40 @@ int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
             // flush at block capacity or at a chunk boundary (n_vec may
             // not be a multiple of kBlock in tests)
             if (blk_fill == kBlock || (k + 1) % n_vec == 0) {
-                flush_block(blk_fill, blk_k0);
+                flush_block(st, out, blk_fill, blk_k0);
                 blk_fill = 0;
             }
         }
     }
-    if (blk_fill > 0) flush_block(blk_fill, blk_k0);
+    st->t += T_block;
+    std::memcpy(st->mlo, mlo, sizeof(mlo));
+    std::memcpy(st->mhi, mhi, sizeof(mhi));
+    std::memcpy(st->plo, plo, sizeof(plo));
+    std::memcpy(st->phi_, phi_, sizeof(phi_));
+    st->blk_fill = blk_fill; st->blk_k0 = blk_k0;
+    return 0;
+}
 
-    float m_min = mlo[0], m_max = mhi[0], p_min = plo[0], p_max = phi_[0];
+// Flush the partial staging block, min-max normalize out in place, and
+// free the state.  Returns 0 on success, -1 if fewer than T frames were
+// fed.
+int mg_pack_finish(void* handle, float* out) {
+    PackState* st = static_cast<PackState*>(handle);
+    if (st->t != st->T) { std::free(st); return -1; }
+    if (st->blk_fill > 0) flush_block(st, out, st->blk_fill, st->blk_k0);
+
+    float m_min = st->mlo[0], m_max = st->mhi[0];
+    float p_min = st->plo[0], p_max = st->phi_[0];
     for (int j = 1; j < kLanes; ++j) {
-        m_min = mlo[j] < m_min ? mlo[j] : m_min;
-        m_max = mhi[j] > m_max ? mhi[j] : m_max;
-        p_min = plo[j] < p_min ? plo[j] : p_min;
-        p_max = phi_[j] > p_max ? phi_[j] : p_max;
+        m_min = st->mlo[j] < m_min ? st->mlo[j] : m_min;
+        m_max = st->mhi[j] > m_max ? st->mhi[j] : m_max;
+        p_min = st->plo[j] < p_min ? st->plo[j] : p_min;
+        p_max = st->phi_[j] > p_max ? st->phi_[j] : p_max;
     }
-    std::free(buf);
+    const int64_t n_chunks = (st->T - 1) / st->n_vec;
+    const int64_t chan_stride = st->n_bins * st->n_vec;
+    const int64_t chunk_stride = 2 * chan_stride;
+    std::free(st);
 
     // final: normalize in place, float32 op order matching the numpy mirror
     const float m_scale = (float)(2.0 / (double)(m_max - m_min));
@@ -277,6 +354,30 @@ int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
     _mm_sfence();  // order NT stores before the caller reads `out`
 #endif
     return 0;
+}
+
+// z:    (T, ld) complex64, row-major, interleaved re/im (frame-major, the
+//       batched-rfft layout); only the first n_bins columns are used (the
+//       caller drops the Nyquist bin by passing n_bins = ld - 1).
+// bark: (n_bins,) float32 per-bin magnitude weight
+// out:  (n_chunks, 2, n_bins, n_vec) float32, n_chunks = (T-1)/n_vec
+// Returns 0 on success, -1 on bad geometry, -2 on allocation failure.
+// One-shot wrapper over the streaming API (single block): both entries
+// share every arithmetic path.
+int mg_magn_phase_pack(const float* z, int64_t T, int64_t ld, int64_t n_bins,
+                       const float* bark, int64_t n_vec, float* out) {
+    void* st = mg_pack_begin(T, ld, n_bins, bark, n_vec);
+    if (!st) {
+        // distinguish geometry from allocation like the old contract
+        const int64_t td = T - 1;
+        if (td < n_vec || n_vec <= 0 || n_bins <= 0 || n_bins > ld) return -1;
+        return -2;
+    }
+    if (mg_pack_frames(st, z, T, out) != 0) {
+        mg_pack_free(st);
+        return -1;
+    }
+    return mg_pack_finish(st, out);
 }
 
 }  // extern "C"

@@ -322,3 +322,48 @@ def test_native_tail_sign_flip_edge():
         axis=1,
     )
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_native_stream_block_invariance():
+    """The streaming kernel API (PackStream) is bit-exact vs the one-shot
+    entry for ANY block split — the one-shot IS a single-block stream, so
+    this pins the carried state (phase, min/max lanes, staging block)
+    across block boundaries."""
+    native = _native_or_skip()
+    from musicgan_tpu.audio.ingest import _bark_scale_np
+
+    rng = np.random.default_rng(7)
+    t, ld, n_bins, n_vec = 131, 17, 16, 32
+    z = (
+        rng.standard_normal((t, ld)) + 1j * rng.standard_normal((t, ld))
+    ).astype(np.complex64)
+    bark = _bark_scale_np(n_bins, 44100)
+    want = native.magn_phase_pack(z, bark, n_vec)
+
+    for split in (1, 3, 16, 50, t):
+        stream = native.PackStream(t, ld, bark, n_vec)
+        i = 0
+        while i < t:
+            nb = min(split, t - i)
+            stream.feed(z[i:i + nb])
+            i += nb
+        got = stream.finish()
+        np.testing.assert_array_equal(got, want, err_msg=f"split={split}")
+
+
+def test_blocked_process_signal_crosses_block_boundaries(rng, monkeypatch):
+    """process_signal's blocked native pipeline (window+rfft+pack per
+    block) == the numpy mirror when a track spans MANY blocks — the
+    whole-track parity tests above fit in one block and would not catch a
+    boundary bug in the window/rfft block recycling."""
+    import pytest
+
+    _native_or_skip()
+    pytest.importorskip("torch")
+    monkeypatch.setattr(ingest, "_BLOCK_FRAMES", 97)  # force many blocks
+    sr = 44100
+    sig = (0.1 * rng.standard_normal(sr * 4)).astype(np.float32)
+    a = ingest.process_signal(sig, backend="numpy")
+    b = ingest.process_signal(sig, backend="native")
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-6)
