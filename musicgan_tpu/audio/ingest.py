@@ -206,7 +206,7 @@ def process_signal(
         except ImportError:
             # no torch (the blocked path needs its out= rfft): one-shot
             zf = _stft_frames(signal, cfg.n_fft, cfg.stft_stride)
-            if zf.shape[0] < cfg.n_vec:
+            if (zf.shape[0] - 1) // cfg.n_vec == 0:
                 return None
             from .. import native
 
@@ -215,7 +215,10 @@ def process_signal(
             )
 
     zf = _stft_frames(signal, cfg.n_fft, cfg.stft_stride)  # (T, n_bins+1)
-    if zf.shape[0] < cfg.n_vec:
+    # fewer than one FULL chunk after the first-difference frame drop —
+    # same rule as the native paths (a t == n_vec track previously
+    # returned an empty (0, ...) array here but None there)
+    if (zf.shape[0] - 1) // cfg.n_vec == 0:
         return None
     z = np.ascontiguousarray(zf.T[:-1, :])  # bin-major mirrors' layout
     if backend == "torch":

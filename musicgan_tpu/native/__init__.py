@@ -84,20 +84,28 @@ def _load() -> ctypes.CDLL | None:
     with _LOCK:
         if _LIB is not None or _FAILED:
             return _LIB
-        try:
-            lib = ctypes.CDLL(build())
-        except (RuntimeError, OSError):
-            # A stale/corrupt .so would otherwise pass the mtime check
-            # forever; drop it so the next process attempts a clean build.
+        lib = None
+        for attempt in ("cached", "forced"):
             try:
-                os.unlink(lib_path())
-            except OSError:
-                pass
-            try:
-                lib = ctypes.CDLL(build(force=True))
-            except (RuntimeError, OSError):
-                _FAILED = True
-                return None
+                lib = ctypes.CDLL(build(force=attempt == "forced"))
+                lib.mg_pack_begin  # symbol probe: see AttributeError note
+            except (RuntimeError, OSError, AttributeError):
+                # A stale/corrupt .so would otherwise pass the mtime
+                # check forever — including one built from OLDER source
+                # that loads fine but lacks newer symbols (preserved
+                # mtimes via cp -p/rsync/image layers), which surfaces
+                # as ctypes AttributeError.  Drop it and force a clean
+                # build; degrade to the numpy path if that fails too.
+                lib = None
+                try:
+                    os.unlink(lib_path())
+                except OSError:
+                    pass
+                continue
+            break
+        if lib is None:
+            _FAILED = True
+            return None
         fn = lib.mg_magn_phase_pack
         fn.restype = ctypes.c_int
         fn.argtypes = [
@@ -160,9 +168,14 @@ class PackStream:
             raise MemoryError("mg_pack_begin failed")
 
     def feed(self, z_block: np.ndarray) -> None:
+        # real checks, not asserts: under `python -O` a NULL handle would
+        # segfault in C and an ld mismatch would read out of bounds
+        if not self._st:
+            raise ValueError("PackStream already finished")
         z_block = np.ascontiguousarray(z_block, np.complex64)
         t_block, ld = z_block.shape
-        assert ld == self._ld and self._st
+        if ld != self._ld:
+            raise ValueError(f"block ld {ld} != stream ld {self._ld}")
         rc = self._lib.mg_pack_frames(
             self._st, z_block.ctypes.data, t_block, self.out.ctypes.data
         )
@@ -171,7 +184,12 @@ class PackStream:
         self._fed += t_block
 
     def finish(self) -> np.ndarray:
-        assert self._st and self._fed == self._t_total
+        if not self._st:
+            raise ValueError("PackStream already finished")
+        if self._fed != self._t_total:
+            raise ValueError(
+                f"fed {self._fed} of {self._t_total} frames before finish()"
+            )
         st, self._st = self._st, None
         rc = self._lib.mg_pack_finish(st, self.out.ctypes.data)
         if rc != 0:

@@ -138,15 +138,18 @@ struct PackState {
     float* bark;         // (n_bins) copy — caller's buffer may not outlive us
 };
 
-void flush_block(PackState* st, float* out, int64_t fill, int64_t k0) {
+// The staging buffers are passed IN (not read via st->mblk/st->pblk):
+// the caller writes them through __restrict__-qualified locals, and a
+// read through an unrelated pointer inside that restrict scope would be
+// undefined behavior the inliner may "optimize" into reading stale data.
+void flush_block(const float* mblk, const float* pblk,
+                 int64_t n_bins, int64_t n_vec,
+                 float* out, int64_t fill, int64_t k0) {
     // (n_bins, kBlock) staging -> out[c][ch][b][v0 .. v0+fill)
-    const int64_t n_vec = st->n_vec, n_bins = st->n_bins;
     const int64_t chan_stride = n_bins * n_vec;
     const int64_t c = k0 / n_vec, v0 = k0 % n_vec;
     float* mbase = out + c * 2 * chan_stride + v0;
     float* pbase = mbase + chan_stride;
-    const float* mblk = st->mblk;
-    const float* pblk = st->pblk;
     if (fill == kBlock) {
         for (int64_t b = 0; b < n_bins; ++b) {
             std::memcpy(mbase + b * n_vec, mblk + b * kBlock,
@@ -279,7 +282,8 @@ int mg_pack_frames(void* handle, const float* z, int64_t T_block,
             // flush at block capacity or at a chunk boundary (n_vec may
             // not be a multiple of kBlock in tests)
             if (blk_fill == kBlock || (k + 1) % n_vec == 0) {
-                flush_block(st, out, blk_fill, blk_k0);
+                flush_block(mblk, pblk, n_bins, n_vec, out,
+                            blk_fill, blk_k0);
                 blk_fill = 0;
             }
         }
@@ -299,7 +303,10 @@ int mg_pack_frames(void* handle, const float* z, int64_t T_block,
 int mg_pack_finish(void* handle, float* out) {
     PackState* st = static_cast<PackState*>(handle);
     if (st->t != st->T) { std::free(st); return -1; }
-    if (st->blk_fill > 0) flush_block(st, out, st->blk_fill, st->blk_k0);
+    if (st->blk_fill > 0) {
+        flush_block(st->mblk, st->pblk, st->n_bins, st->n_vec, out,
+                    st->blk_fill, st->blk_k0);
+    }
 
     float m_min = st->mlo[0], m_max = st->mhi[0];
     float p_min = st->plo[0], p_max = st->phi_[0];

@@ -11,6 +11,7 @@ discrimination.  The end-to-end test drives the full eval surface
 import importlib.util
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -18,12 +19,20 @@ from musicgan_tpu import evaluate as eval_quality  # metric under test
 
 # the script wrapper must keep re-exporting the metric symbols (notebooks
 # and older tooling import them from there)
+_SCRIPTS = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "scripts")
+)
 _spec = importlib.util.spec_from_file_location(
-    "eval_quality_script",
-    os.path.join(os.path.dirname(__file__), "..", "scripts", "eval_quality.py"),
+    "eval_quality_script", os.path.join(_SCRIPTS, "eval_quality.py")
 )
 _script = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_script)
+# scripts/ rely on python's run-as-script contract (sys.path[0] = script
+# dir) for their shared `import _bootstrap`; emulate it for exec_module
+sys.path.insert(0, _SCRIPTS)
+try:
+    _spec.loader.exec_module(_script)
+finally:
+    sys.path.remove(_SCRIPTS)
 assert _script.band_profile is eval_quality.band_profile
 assert _script.inter_sample_dist is eval_quality.inter_sample_dist
 

@@ -367,3 +367,46 @@ def test_blocked_process_signal_crosses_block_boundaries(rng, monkeypatch):
     b = ingest.process_signal(sig, backend="native")
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_pack_stream_guards():
+    """Real exceptions (not asserts): misuse must not reach the C layer —
+    under ``python -O`` a NULL handle would segfault and an ld mismatch
+    would read out of bounds."""
+    import pytest
+
+    native = _native_or_skip()
+    from musicgan_tpu.audio.ingest import _bark_scale_np
+
+    bark = _bark_scale_np(8, 44100)
+    rng = np.random.default_rng(0)
+    z = (rng.standard_normal((33, 9)) + 1j * rng.standard_normal((33, 9))
+         ).astype(np.complex64)
+    stream = native.PackStream(33, 9, bark, 16)
+    with pytest.raises(ValueError, match="ld"):
+        stream.feed(z[:, :5])
+    stream.feed(z)
+    with pytest.raises(ValueError, match="overfeed"):
+        stream.feed(z[:1])
+    stream.finish()
+    with pytest.raises(ValueError, match="finished"):
+        stream.feed(z)
+    with pytest.raises(ValueError, match="finished"):
+        stream.finish()
+    short = native.PackStream(33, 9, bark, 16)
+    short.feed(z[:10])
+    with pytest.raises(ValueError, match="fed 10 of 33"):
+        short.finish()
+
+
+def test_one_chunk_boundary_consistent_across_backends():
+    """A track with exactly n_vec STFT frames is shorter than one chunk
+    (the first-difference drops a frame) — every backend must agree on
+    None, not an empty array (the numpy guard previously disagreed)."""
+    cfg = AudioConfig()
+    # len // stride == n_vec - 1  =>  t == n_vec exactly
+    sig = np.zeros((cfg.n_vec - 1) * cfg.stft_stride, np.float32)
+    for backend in ("numpy", "torch"):
+        assert ingest.process_signal(sig, cfg, backend=backend) is None, backend
+    _native_or_skip()  # skips only the native leg on toolchain-less hosts
+    assert ingest.process_signal(sig, cfg, backend="native") is None
