@@ -18,7 +18,23 @@ import argparse
 
 def main() -> None:
     parser = argparse.ArgumentParser("musicgan_tpu")
-    sub = parser.add_subparsers(dest="mode", required=True)
+    # Shared by every subcommand.  A --platform flag (not an env var)
+    # because some launch environments pin JAX_PLATFORMS at interpreter
+    # startup — overriding it from the environment can hang before user
+    # code runs (observed live: a dead device tunnel + JAX_PLATFORMS=cpu
+    # wedged `import jax` itself); jax.config.update after import is the
+    # reliable path.
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--platform", type=str, default=None, metavar="BACKEND",
+        help="force a jax platform (e.g. 'cpu' to run a CPU-safe "
+             "export/eval while the accelerator is busy or unreachable)")
+    def _subparser(**kw):  # every subcommand inherits the common flags
+        return argparse.ArgumentParser(parents=[common], **kw)
+
+    sub = parser.add_subparsers(
+        dest="mode", required=True, parser_class=_subparser
+    )
 
     p = sub.add_parser("create_dataset", help="WAVs -> packed spectrogram shards")
     p.add_argument("audio_path", type=str, help="can be /path/to/*.wav")
@@ -159,6 +175,11 @@ def main() -> None:
     p.add_argument("--stage", type=int, default=7)
 
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.mode != "create_dataset":  # ingest never touches the device
         from .utils.cache import enable_compilation_cache
