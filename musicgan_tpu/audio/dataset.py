@@ -117,14 +117,26 @@ class SpectrogramDataset:
         s = self.index.get("sample_shape", [2, 512, 512])
         return len(self) * int(np.prod(s)) * 4
 
-    def as_array(self) -> np.ndarray:
-        """Materialize the whole corpus as one float32 array (the
-        device-resident dataset mode ships this to HBM once)."""
+    def as_array(self, dtype=np.float32) -> np.ndarray:
+        """Materialize the whole corpus as one array of ``dtype`` (the
+        device-resident dataset mode ships this to HBM once).
+
+        The cast happens here, shard by shard, so a bfloat16-resident
+        corpus never materializes a full float32 copy: host peak is the
+        target buffer plus one shard, and the caller can H2D exactly the
+        resident bytes (a float32 upload of the r4 10x corpus exceeds
+        the chip's entire HBM)."""
+        dtype = np.dtype(dtype)
         if self._shards is not None:
-            return np.concatenate(
-                [np.asarray(s, np.float32) for s in self._shards], axis=0
-            )
-        return self.gather(np.arange(len(self)))
+            shape = tuple(self._shards[0].shape[1:])
+            out = np.empty((len(self), *shape), dtype)
+            ofs = 0
+            for s in self._shards:
+                k = s.shape[0]
+                out[ofs:ofs + k] = np.asarray(s)  # casts if dtype differs
+                ofs += k
+            return out
+        return self.gather(np.arange(len(self))).astype(dtype, copy=False)
 
 
 def batch_indices(

@@ -128,8 +128,12 @@ def train(
     if use_dev_data and (mesh is not None or jax.process_count() > 1):
         raise ValueError("device_dataset='on' requires a single-host, "
                          "single-device run")
+    # Cast on HOST, then ship exactly the resident bytes: jnp.asarray(f32,
+    # bfloat16) would upload the float32 bytes and cast on device — a 2x
+    # HBM spike that OOMs once the f32 corpus alone exceeds HBM (the r4
+    # 10x corpus is 17.4 GB f32 vs 16 GB on a v5e).
     data_dev = (
-        jnp.asarray(dataset.as_array(), dev_dtype) if use_dev_data else None
+        jax.device_put(dataset.as_array(dev_dtype)) if use_dev_data else None
     )
 
     def to_global(local_np, sharding):
@@ -496,7 +500,14 @@ def train(
                     # steady-state clock doesn't inherit its duration.  A
                     # wedged upload is still detected one timeout later.
                     watchdog.beat()
-                    data_dev = jnp.asarray(dataset.as_array(), dev_dtype)
+                    # Free the old resident corpus BEFORE uploading the
+                    # grown one: HBM can't hold two copies (it is rebuilt
+                    # from host data, so nothing is lost on a failed
+                    # upload), and cast on host (see the startup ship).
+                    staged = dataset.as_array(dev_dtype)
+                    data_dev.delete()
+                    data_dev = jax.device_put(staged)
+                    del staged
                     data_dev.block_until_ready()
                     watchdog.beat()
                 elif lead:

@@ -51,3 +51,21 @@ def test_batch_skip_never_touches_skipped_data(tmp_path, monkeypatch):
     monkeypatch.setattr(SpectrogramDataset, "gather", spy)
     out = list(batch_iterator(ds, 4, seed=1, skip=3))
     assert len(gathered) == len(out)  # one gather per YIELDED batch only
+
+
+def test_as_array_host_side_dtype_cast(tmp_path):
+    """as_array(dtype) casts shard-by-shard on the HOST so the
+    device-resident ship uploads exactly the resident bytes — a float32
+    upload of a corpus larger than HBM OOMs at init (r4 10x corpus:
+    17.4 GB f32 vs 16 GB HBM; train/loop.py ships via device_put)."""
+    import jax.numpy as jnp
+
+    ds = SpectrogramDataset(_write_ds(tmp_path, n=20))
+    f32 = ds.as_array()
+    assert f32.dtype == np.float32 and f32.shape == (20, 2, 8, 8)
+    bf16 = ds.as_array(jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16  # numpy buffer, ml_dtypes dtype
+    assert isinstance(bf16, np.ndarray)
+    np.testing.assert_array_equal(
+        np.asarray(bf16), f32.astype(jnp.bfloat16)
+    )
