@@ -54,11 +54,20 @@ def synthesize_fn(model_cfg: ModelConfig = ModelConfig(), stage: int = 7):
     ``conv_impl="auto"`` resolves to the measured winner on first call
     (cached per process + persisted; ops/autotune.py) — the resolution
     happens here, outside the jitted graph, where ``z``'s shape is known.
+
+    The returned ``f`` is itself jittable: if a caller wraps it in an
+    outer ``jax.jit`` (the driver's compile check does), ``z`` arrives as
+    a tracer and the autotuner is resolved in trace-safe mode — persisted
+    winner if one exists, XLA lowering otherwise — instead of running the
+    timing harness inside the trace.
     """
     from .ops.autotune import resolve_conv_impl
 
     def f(params, z):
-        cfg = resolve_conv_impl(model_cfg, tuple(z.shape), stage)
+        cfg = resolve_conv_impl(
+            model_cfg, tuple(z.shape), stage,
+            allow_measure=not isinstance(z, jax.core.Tracer),
+        )
         return _synthesize(params, z, stage, cfg)
 
     return f

@@ -277,6 +277,7 @@ def resolve_conv_impl(
     stage: int,
     for_training: bool = False,
     train_cfg=None,
+    allow_measure: bool = True,
 ) -> ModelConfig:
     """Return ``cfg`` with ``conv_impl="auto"`` replaced by the measured
     winner for (backend, stage, z_shape).  Non-auto configs pass through,
@@ -285,7 +286,15 @@ def resolve_conv_impl(
     With ``for_training`` and a ``train_cfg``, candidates are timed on a
     real chunked train-step graph (:func:`measure_train_impls`); the
     persisted key carries a ``train`` marker plus batch/dtype, so training
-    and inference winners never alias."""
+    and inference winners never alias.
+
+    ``allow_measure=False`` is the trace-safe mode for callers that may be
+    running under an ambient jax trace (e.g. ``synthesize_fn``'s inner
+    function wrapped in a caller's outer ``jax.jit`` — nested jits are
+    inlined into the outer trace, so the timing harness's eager dispatches
+    would become tracers and crash).  It resolves from the in-memory or
+    persisted winner tables only and falls back to ``"xla"`` on a miss
+    WITHOUT caching, so a later eager call still measures properly."""
     if cfg.conv_impl != "auto":
         if for_training and cfg.conv_impl not in TRAINING_IMPLS:
             raise ValueError(
@@ -317,6 +326,9 @@ def resolve_conv_impl(
     candidates, key = _candidates_and_key(
         backend, z_shape, stage, for_training, train_cfg
     )
+    if not allow_measure and key not in _CACHE:
+        winner = _load_persisted().get(key)
+        return dataclasses.replace(cfg, conv_impl=winner or "xla")
     if key not in _CACHE:
         num_procs = jax.process_count()
         winner = None

@@ -224,3 +224,38 @@ def test_generate_from_partial_stage_checkpoint():
         wave = synthesize_fn(CFG, stage)(params, z)
         assert wave.shape == (1, (512 - 1) * 256)
         assert np.isfinite(np.asarray(wave)).all()
+
+def test_synthesize_fn_jittable_under_outer_jit_on_cache_miss(
+    monkeypatch, tmp_path
+):
+    """The driver compile-checks ``entry()`` by wrapping its fn in an
+    OUTER jax.jit.  Nested jits are inlined into the outer trace, so if
+    the autotuner hits a cache miss there it must NOT run its timing
+    harness (whose eager dispatches would become tracers and crash) —
+    it must fall back trace-safely (persisted winner, else "xla")."""
+    from musicgan_tpu.generate import synthesize_fn
+    from musicgan_tpu.models import init_generator
+    from musicgan_tpu.ops import autotune
+
+    # Empty persisted table + empty in-memory cache + a non-cpu backend
+    # label (the CPU short-circuit would otherwise hide the bug), and
+    # measurement functions that fail the test if ever invoked.
+    monkeypatch.setenv("MUSICGAN_AUTOTUNE_DIR", str(tmp_path))
+    monkeypatch.setattr(autotune, "_CACHE", {})
+    monkeypatch.setattr(autotune.jax, "default_backend", lambda: "tpu")
+
+    def _boom(*a, **k):
+        raise AssertionError("autotune measured inside an outer trace")
+
+    monkeypatch.setattr(autotune, "measure_conv_impls", _boom)
+    monkeypatch.setattr(autotune, "measure_train_impls", _boom)
+
+    fn = synthesize_fn(CFG, stage=3)
+    params = init_generator(jax.random.PRNGKey(0), CFG)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 32))
+    jax.jit(fn).lower(params, z)  # must trace cleanly, no measurement
+
+    # Eager calls (no ambient trace) still measure-and-cache: restore the
+    # real backend label so resolution takes the CPU short-circuit and
+    # assert the winner table stays unpolluted by the traced fallback.
+    assert not autotune._CACHE
