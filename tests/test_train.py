@@ -634,6 +634,39 @@ def test_preemption_flushes_checkpoint_and_resume_is_bit_exact(
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_cadence_save_resume_is_bit_exact_chunked(tmp_path):
+    """Resuming from an ordinary CADENCE checkpoint (not a preemption
+    flush) is just as bit-exact, including under chunked dispatch: the
+    save meta carries the same epoch batch cursor, so the resumed run
+    replays the remainder of the epoch identically.  (The live r4
+    continuation run surfaced an apparent post-resume metric jump; this
+    pins that it is a logging-WINDOW artifact — the windowed means lose
+    their pre-resume history — not a trajectory divergence.)"""
+    from musicgan_tpu.train import train
+
+    ds = _synth_dataset(tmp_path)
+    cfg = dataclasses.replace(
+        FAST_CFG, nb_epoch=50, save_every=6, log_every=3, nb_preview=1,
+        chunk_steps=3,
+    )
+    s_ctrl = train(
+        "ctrl", ds, str(tmp_path / "ctrl"), cfg, TINY_CFG, max_iters=12,
+        mesh=None,
+    )
+
+    out = str(tmp_path / "out")
+    train("t", ds, out, cfg, TINY_CFG, max_iters=9, mesh=None)
+    ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
+    assert ckpt.latest() == 0  # the iter-6 cadence save
+    s2 = train("t", ds, out, cfg, TINY_CFG, resume=True, max_iters=12,
+               mesh=None)
+    assert int(s2.iter_idx) == 12
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_ctrl), jax.tree_util.tree_leaves(s2)
+    ):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_preemption_mid_chunk_defers_flush_to_chunk_end(
     tmp_path, monkeypatch
 ):
