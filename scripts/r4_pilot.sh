@@ -52,12 +52,20 @@ NOW=$(date +%s)
 if [ "$NOW" -ge "$TRAIN_STOP" ]; then
     log "past the training deadline; skipping straight to eval"
 else
+    # Optional MAX_ITERS env raises the iteration cap past the schedule end
+    # (e.g. MAX_ITERS=419000 to train straight through to the reference
+    # artifact's demonstrated budget in a single run).
+    EXTRA=""
+    if [ -n "${MAX_ITERS:-}" ]; then
+        EXTRA="--max-iters $MAX_ITERS"
+        log "iteration cap raised to $MAX_ITERS"
+    fi
     setsid python scripts/quality_run.py \
         --dataset "$CORPUS/ds" --out "$OUT" \
         --schedule-div 1 --drift-eps 1e-3 --ema-decay 0.999 \
         --device-dtype bfloat16 --device-budget-gb 12 \
         --save-every 4000 --chunk-steps 100 \
-        --run-name quality_r4 --max-restarts 8 $RESUME \
+        --run-name quality_r4 --max-restarts 8 $RESUME $EXTRA \
         >> /root/runs/quality_r4_train.log 2>&1 &
     TPID=$!
     log "training launched (pgid $TPID), hard stop at $(date -u -d @$TRAIN_STOP +%H:%M:%S)Z"
