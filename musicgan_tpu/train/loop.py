@@ -288,15 +288,18 @@ def train(
         )
 
     def log_metrics(epoch, m_iter, m_stage, m, m_gen, alpha, row_idx=None):
-        # Every host materializes the cadence metrics — the float()s are
-        # real device->host fetches, the watchdog's progress evidence.  A
+        # Every host materializes the cadence metrics — the device_get is
+        # a real device->host fetch, the watchdog's progress evidence.  A
         # follower that fetched nothing could witness progress only on
         # the (much sparser) checkpoint cadence, making its stall clock
         # useless; the cost is a handful of scalars per log_every iters.
-        host_m = {
-            k: float(v if row_idx is None else v[row_idx]) for k, v in m.items()
-        }
-        watchdog.beat()  # the float()s above materialized device results
+        # One batched transfer (not a float() per metric): on a
+        # tunnel-attached chip each scalar fetch is a full network RTT.
+        host_m = jax.device_get(
+            {k: (v if row_idx is None else v[row_idx]) for k, v in m.items()}
+        )
+        host_m = {k: float(v) for k, v in host_m.items()}
+        watchdog.beat()  # the device_get above materialized device results
         if logger is None:
             return
         if not m_gen:
@@ -382,8 +385,26 @@ def train(
                     flush=True,
                 )
 
+    # --- deferred metric flush (1-chunk-deep pipeline) -------------------
+    # jit dispatch is asynchronous: the chunk call returns futures and the
+    # device starts crunching; the ONLY forced sync in steady state is the
+    # cadence metric fetch.  Fetching chunk k's scalars BEFORE dispatching
+    # chunk k+1 leaves the device idle for the whole fetch-RTT + host
+    # bookkeeping + dispatch-RTT window — on a tunnel-attached chip that
+    # is real idle time every 100-step dispatch.  Instead, cadence rows
+    # are queued here and materialized right AFTER the next chunk is
+    # dispatched, so the fetch overlaps device compute and the device
+    # never waits on the tunnel.  Costs: log lines / watchdog beats lag by
+    # at most one chunk (<= a minute at stage 7, vs a 900 s stall budget).
+    pending_logs: list = []
+
+    def flush_logs():
+        while pending_logs:
+            log_metrics(*pending_logs.pop(0))
+
     def run_single(epoch, x_raw):
         nonlocal state
+        flush_logs()
         stage = min(grower.curr_grow, max_stage)
         alpha = grower.alpha
         with_gen = iter_idx % train_cfg.n_critic == 0
@@ -446,13 +467,17 @@ def train(
             state, mstack = get_chunk_step(stage)(
                 state, x_stack, jnp.asarray(alphas), jnp.asarray(gen_mask)
             )
+        # The new chunk is in flight — NOW materialize the previous
+        # chunk's cadence rows (its results are long since complete; the
+        # fetch RTT rides under this chunk's device time).
+        flush_logs()
         base_iter = iter_idx
         for i in range(k):
             if (base_iter + i) % train_cfg.log_every == 0:
-                log_metrics(
+                pending_logs.append((
                     epoch, base_iter + i, stage, mstack,
-                    bool(gen_mask[i]), float(alphas[i]), row_idx=i,
-                )
+                    bool(gen_mask[i]), float(alphas[i]), i,
+                ))
             post_iteration(
                 epoch, stage, float(alphas[i]), at_boundary=(i == k - 1)
             )
@@ -556,6 +581,7 @@ def train(
 
     try:
         run_epochs()
+        flush_logs()  # cadence rows deferred past the final dispatch
     except Exception as e:
         # Multi-host: a dead lead/coordinator surfaces on the survivors
         # as a gRPC-flavored runtime error from the next collective —

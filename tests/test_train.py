@@ -1,5 +1,6 @@
 """Train-step, growth-schedule, and end-to-end loop tests (8-device CPU mesh)."""
 
+import csv
 import dataclasses
 import os
 
@@ -393,6 +394,12 @@ def test_train_loop_chunked_matches_iteration_count(tmp_path):
     assert int(state.iter_idx) == 13
     ckpt = CheckpointManager(os.path.join(out, "checkpoints"))
     assert ckpt.latest() == 0  # fired at iter 7 despite chunking
+    # Every cadence row must land in metrics.csv despite the deferred
+    # (pipelined) metric flush — step 12 is logged inside the run's final
+    # dispatch, so it only appears if the end-of-run flush_logs() runs.
+    with open(os.path.join(out, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [int(r["step"]) for r in rows] == [0, 4, 8, 12]
 
 
 def test_grower_max_stage_cap():
