@@ -137,5 +137,20 @@ for w in "$OUT"/audition_final/*.wav; do
     [ "$i" -ge 2 ] && break
 done
 cp -f "$OUT"/metrics.csv "$DEST/metrics.csv" 2>/dev/null
+
+# Ship the newest FULL train-state checkpoint (gen+disc+Adam+EMA+grower
+# counters + epoch cursor), not just the weights-only .pt export: host
+# reboots wipe /root/runs, so this committed copy is what lets the NEXT
+# round resume the run (round_boot.sh step 2b reseeds from it) instead of
+# retraining from iter 0.  Only complete saves count (meta.json present).
+LATEST=$(for d in "$OUT"/checkpoints/save_*/; do
+    [ -f "$d/meta.json" ] && basename "$d"
+done | sed 's/save_//' | sort -n | tail -1)
+if [ -n "$LATEST" ]; then
+    rm -rf "$DEST/resume_ckpt"
+    mkdir -p "$DEST/resume_ckpt"
+    cp -r "$OUT/checkpoints/save_$LATEST" "$DEST/resume_ckpt/"
+    log "resume checkpoint save_$LATEST staged ($(du -sh "$DEST/resume_ckpt" | cut -f1))"
+fi
 log "artifacts staged in $DEST — commit from a session turn"
 log "pilot done"

@@ -65,6 +65,23 @@ if [ ! -f "$CORPUS/ds/index.json" ]; then
     log "ingest launched (pid $(cat /tmp/ingest_r4.pid)); the pilot will wait on it"
 fi
 
+# --- 2b. reseed checkpoints from the repo if the reboot wiped /root/runs ---
+# The pilot ships the newest complete train-state checkpoint into
+# saved_models/quality_r4/resume_ckpt/ (the only persistent filesystem);
+# restoring it here turns a from-scratch retrain into a resume.  Safe
+# because the corpus recipe above is pinned (sorted glob + order-preserving
+# imap make the rebuilt dataset byte-identical), so the checkpoint's
+# epoch/batch cursor still addresses the same samples.
+OUT=/root/runs/quality_r4
+if ! ls "$OUT"/checkpoints/save_* >/dev/null 2>&1; then
+    SEED=$(ls -d "$REPO"/saved_models/quality_r4/resume_ckpt/save_* 2>/dev/null | tail -1)
+    if [ -n "$SEED" ]; then
+        mkdir -p "$OUT/checkpoints"
+        cp -r "$SEED" "$OUT/checkpoints/"
+        log "reseeded $(basename "$SEED") from the repo — pilot resumes instead of retraining"
+    fi
+fi
+
 # --- 3. wait for a live accelerator ---
 until timeout 180 python -c \
     "import jax; d = jax.devices()[0]; assert d.platform != 'cpu', d" \
