@@ -173,6 +173,31 @@ def main() -> None:
     p.add_argument("ckpt", type=str, help="musicgan_tpu checkpoint dir")
     p.add_argument("-o", "--output", type=str, required=True)
     p.add_argument("--stage", type=int, default=7)
+    p.add_argument("--full", action="store_true",
+                   help="write the reference Saver's complete four-file "
+                        "save (gen/disc/optim_gen/optim_disc _{i}.pt, "
+                        "reference utils.py:118-145) into the OUTPUT "
+                        "directory — weights AND Adam state, so reference "
+                        "tooling gets everything its own saves carry")
+    p.add_argument("--save-idx", type=int, default=None,
+                   help="index i in the exported file names (--full; "
+                        "default: the source checkpoint's save index)")
+
+    p = sub.add_parser(
+        "import",
+        help="convert a reference save directory (the four *_{i}.pt files) "
+             "into a native run dir that `train -o DIR --resume` continues "
+             "— weights, Adam moments and per-param step counts included",
+    )
+    p.add_argument("ref_dir", type=str,
+                   help="directory holding gen_{i}.pt / disc_{i}.pt / "
+                        "optim_gen_{i}.pt / optim_disc_{i}.pt")
+    p.add_argument("save_idx", type=int, help="reference save index i")
+    p.add_argument("-o", "--output", type=str, required=True,
+                   help="run directory to create (gets checkpoints/save_0)")
+    p.add_argument("--iter", type=int, default=None,
+                   help="iteration counter to resume at (default: "
+                        "save_idx * 1000, the reference's save cadence)")
 
     args = parser.parse_args()
 
@@ -395,12 +420,63 @@ def main() -> None:
         print(_json.dumps(info, indent=1))
 
     elif args.mode == "export":
-        from .generate import load_generator_params
-        from .models.torch_ingest import export_reference_generator
+        if args.full:
+            import os
 
-        params = load_generator_params(args.ckpt)
-        export_reference_generator(params, args.output, stage=args.stage)
-        print(args.output)
+            import jax
+
+            from .config import ModelConfig, TrainConfig
+            from .models.torch_ingest import export_reference_save
+            from .train.checkpoint import CheckpointManager
+            from .train.step import init_train_state
+
+            ckpt = args.ckpt
+            if os.path.basename(ckpt).startswith("save_"):
+                root, leaf = os.path.split(ckpt)
+                save_idx = int(leaf.split("_")[1])
+            else:
+                root = ckpt
+                if os.path.isdir(os.path.join(ckpt, "checkpoints")):
+                    root = os.path.join(ckpt, "checkpoints")
+                save_idx = CheckpointManager(root).latest()
+                if save_idx is None:
+                    raise FileNotFoundError(f"no checkpoints under {root}")
+            mgr = CheckpointManager(root)
+            model_cfg, train_cfg = ModelConfig(), TrainConfig()
+            template = init_train_state(jax.random.PRNGKey(0), model_cfg)
+            state, meta = mgr.restore(save_idx, template)
+            stage = min(
+                int(meta["grower"]["curr_grow"]), model_cfg.n_stages - 1
+            )
+            out_idx = (
+                args.save_idx if args.save_idx is not None else save_idx
+            )
+            paths = export_reference_save(
+                state, args.output, out_idx, stage=stage, cfg=model_cfg,
+                gen_lr=train_cfg.gen_lr, disc_lr=train_cfg.disc_lr,
+                betas=train_cfg.betas,
+            )
+            for p_ in paths:
+                print(p_)
+        else:
+            from .generate import load_generator_params
+            from .models.torch_ingest import export_reference_generator
+
+            params = load_generator_params(args.ckpt)
+            export_reference_generator(params, args.output, stage=args.stage)
+            print(args.output)
+
+    elif args.mode == "import":
+        from .models.torch_ingest import import_reference_run
+
+        _, stage = import_reference_run(
+            args.ref_dir, args.save_idx, args.output, iter_idx=args.iter
+        )
+        print(
+            f"{args.output}/checkpoints/save_0 (stage {stage}) — continue "
+            f"with: python -m musicgan_tpu train <dataset> -o {args.output} "
+            f"--resume"
+        )
 
 
 if __name__ == "__main__":

@@ -86,6 +86,13 @@ _DIST_FAILURE_MARKERS = (
     "broken pipe",
     "shutting down",
     "preempt",
+    # XLA:CPU collectives ride Gloo; when a peer dies mid-run the
+    # survivor's next collective (or any fetch depending on it) raises
+    # "Gloo context initialization failed: ... Connect timeout" — seen
+    # live when SIGTERM hit the lead under host load (the follower's
+    # log_metrics device_get surfaced it as a JaxRuntimeError).
+    "gloo context initialization failed",
+    "connect timeout",
 )
 
 

@@ -37,6 +37,15 @@ def test_is_distributed_failure_classification():
         ConnectionError("UNAVAILABLE: failed to connect to all addresses"),
         OSError("Socket closed"),
         RuntimeError("gRPC channel: connection reset by peer"),
+        # seen live: XLA:CPU Gloo collective failing after the lead died
+        # mid-run (surfaced from a follower's device_get as
+        # JaxRuntimeError rc 1 — the exact un-retried death this
+        # classifier exists to prevent)
+        RuntimeError(
+            "UNKNOWN: Buffer Definition Event: Gloo context "
+            "initialization failed: [external/gloo/gloo/transport/tcp/"
+            "pair.h:311] Connect timeout [none]"
+        ),
     ]
     not_retryable = [
         AssertionError("batch 6 not divisible by 4 devices"),
