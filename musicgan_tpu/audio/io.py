@@ -1,10 +1,14 @@
-"""Host-side WAV I/O (replaces the reference's torchaudio load/save calls).
+"""Host-side audio I/O (replaces the reference's torchaudio load/save calls).
 
 The reference decodes audio with ``torchaudio.load`` and writes with
-``torchaudio.save`` (reference ``audio/functions.py:43,139``).  Here, host
-decode/encode goes through ``scipy.io.wavfile`` with torchaudio-compatible
-normalization (integer PCM scaled to [-1, 1)); device compute never touches
-this module.
+``torchaudio.save`` (reference ``audio/functions.py:43,139``) — which gives
+it every format its torchaudio backend decodes, not just WAV.  Here, the
+zero-dependency path goes through ``scipy.io.wavfile`` with
+torchaudio-compatible normalization (integer PCM scaled to [-1, 1)); for
+non-WAV files (mp3/flac/ogg/...) :func:`load_wav` falls back to
+``soundfile`` or ``torchaudio`` WHEN INSTALLED, matching the reference's
+format breadth without adding a hard dependency.  Device compute never
+touches this module.
 """
 
 from __future__ import annotations
@@ -13,6 +17,28 @@ import numpy as np
 from scipy.io import wavfile
 
 __all__ = ["load_wav", "save_wav"]
+
+
+def _decode_via_optional_backends(path: str):
+    """Best-effort decode through optional libraries: ``soundfile`` first
+    (lighter), then ``torchaudio`` (the reference's own decoder).  Returns
+    ``(mono_float32, sample_rate)`` or None when neither is importable."""
+    try:
+        import soundfile  # type: ignore
+
+        data, sr = soundfile.read(path, dtype="float32", always_2d=True)
+        return data.mean(axis=1).astype(np.float32), int(sr)
+    except ImportError:
+        pass
+    except Exception as e:  # importable but failed to decode: surface it
+        raise ValueError(f"soundfile could not decode {path!r}: {e}") from e
+    try:
+        import torchaudio  # type: ignore
+
+        wav, sr = torchaudio.load(path)  # (channels, n), float32 [-1, 1]
+        return wav.mean(0).numpy().astype(np.float32), int(sr)
+    except ImportError:
+        return None
 
 _PCM_SCALE = {
     np.dtype(np.int16): 1 << 15,
@@ -25,9 +51,28 @@ def load_wav(path: str, expected_sample_rate: int | None = None):
     """Read a WAV file -> (mono float32 signal in [-1, 1], sample_rate).
 
     Multi-channel audio is averaged to mono, matching reference
-    ``audio/functions.py:49``.
+    ``audio/functions.py:49``.  Non-WAV formats decode through soundfile
+    or torchaudio when installed (see module docstring).
     """
-    sr, data = wavfile.read(path)
+    try:
+        sr, data = wavfile.read(path)
+    except ValueError as e:
+        # Not RIFF/WAV: try the optional decoders the reference relies on.
+        decoded = _decode_via_optional_backends(path)
+        if decoded is None:
+            raise ValueError(
+                f"{path!r} is not a WAV file and no optional audio decoder "
+                "is installed — `pip install soundfile` (or torchaudio) "
+                "for mp3/flac/ogg support, matching the reference's "
+                "torchaudio.load breadth"
+            ) from e
+        data, sr = decoded
+        if expected_sample_rate is not None and sr != expected_sample_rate:
+            raise ValueError(
+                f"Audio sample rate must be {expected_sample_rate}Hz, "
+                f'file "{path}" is {sr}Hz'
+            )
+        return data, sr
     if expected_sample_rate is not None and sr != expected_sample_rate:
         raise ValueError(
             f"Audio sample rate must be {expected_sample_rate}Hz, "

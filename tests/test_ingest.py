@@ -410,3 +410,53 @@ def test_one_chunk_boundary_consistent_across_backends():
         assert ingest.process_signal(sig, cfg, backend=backend) is None, backend
     _native_or_skip()  # skips only the native leg on toolchain-less hosts
     assert ingest.process_signal(sig, cfg, backend="native") is None
+
+
+def test_load_non_wav_without_optional_decoder_raises(tmp_path):
+    """A non-WAV file with neither soundfile nor torchaudio installed (this
+    image has neither) must fail with an actionable message, not scipy's
+    opaque RIFF error."""
+    import pytest
+
+    from musicgan_tpu.audio.io import load_wav
+
+    p = tmp_path / "song.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # mp3-ish header
+    with pytest.raises(ValueError, match="optional audio decoder"):
+        load_wav(str(p))
+
+
+def test_load_non_wav_via_optional_soundfile(tmp_path, monkeypatch):
+    """When an optional decoder IS importable, non-WAV files decode through
+    it (mono-averaged float32 + sample rate), matching the reference's
+    torchaudio.load breadth (reference audio/functions.py:43-49)."""
+    import sys
+    import types
+
+    from musicgan_tpu.audio.io import load_wav
+
+    stereo = np.stack(
+        [np.linspace(-1, 1, 100, dtype=np.float32),
+         np.zeros(100, dtype=np.float32)], axis=1
+    )
+
+    fake = types.ModuleType("soundfile")
+
+    def read(path, dtype="float32", always_2d=True):
+        assert path.endswith(".flac")
+        return stereo.copy(), 44100
+
+    fake.read = read
+    monkeypatch.setitem(sys.modules, "soundfile", fake)
+
+    p = tmp_path / "song.flac"
+    p.write_bytes(b"fLaC" + b"\x00" * 16)
+    sig, sr = load_wav(str(p))
+    assert sr == 44100
+    np.testing.assert_allclose(sig, stereo.mean(axis=1), atol=1e-7)
+
+    # sample-rate contract is enforced on the optional path too
+    import pytest
+
+    with pytest.raises(ValueError, match="must be 48000"):
+        load_wav(str(p), expected_sample_rate=48000)
