@@ -172,7 +172,10 @@ def main() -> None:
     )
     p.add_argument("ckpt", type=str, help="musicgan_tpu checkpoint dir")
     p.add_argument("-o", "--output", type=str, required=True)
-    p.add_argument("--stage", type=int, default=7)
+    p.add_argument("--stage", type=int, default=7,
+                   help="growth stage for a single-.pt export (ignored "
+                        "with --full, which uses the checkpoint's "
+                        "recorded stage)")
     p.add_argument("--full", action="store_true",
                    help="write the reference Saver's complete four-file "
                         "save (gen/disc/optim_gen/optim_disc _{i}.pt, "
@@ -421,40 +424,42 @@ def main() -> None:
 
     elif args.mode == "export":
         if args.full:
-            import os
-
             import jax
 
             from .config import ModelConfig, TrainConfig
             from .models.torch_ingest import export_reference_save
-            from .train.checkpoint import CheckpointManager
+            from .train.checkpoint import (
+                CheckpointManager,
+                resolve_checkpoint,
+            )
             from .train.step import init_train_state
 
-            ckpt = args.ckpt
-            if os.path.basename(ckpt).startswith("save_"):
-                root, leaf = os.path.split(ckpt)
-                save_idx = int(leaf.split("_")[1])
-            else:
-                root = ckpt
-                if os.path.isdir(os.path.join(ckpt, "checkpoints")):
-                    root = os.path.join(ckpt, "checkpoints")
-                save_idx = CheckpointManager(root).latest()
-                if save_idx is None:
-                    raise FileNotFoundError(f"no checkpoints under {root}")
+            root, save_idx = resolve_checkpoint(args.ckpt)
             mgr = CheckpointManager(root)
-            model_cfg, train_cfg = ModelConfig(), TrainConfig()
+            model_cfg, defaults = ModelConfig(), TrainConfig()
             template = init_train_state(jax.random.PRNGKey(0), model_cfg)
             state, meta = mgr.restore(save_idx, template)
             stage = min(
                 int(meta["grower"]["curr_grow"]), model_cfg.n_stages - 1
             )
+            # optimizer hyperparams ride the exported param groups: use
+            # the RUN'S recorded values (meta carries the full train_cfg),
+            # not the defaults — a 5e-4 run exported at lr=1e-3 would
+            # silently retrain at 2x lr in the reference
+            tc = meta.get("train_cfg") or {}
             out_idx = (
                 args.save_idx if args.save_idx is not None else save_idx
             )
+            print(
+                f"exporting save_{save_idx} at stage {stage} (from "
+                "checkpoint meta; --stage applies to single-.pt exports "
+                "only)"
+            )
             paths = export_reference_save(
                 state, args.output, out_idx, stage=stage, cfg=model_cfg,
-                gen_lr=train_cfg.gen_lr, disc_lr=train_cfg.disc_lr,
-                betas=train_cfg.betas,
+                gen_lr=float(tc.get("gen_lr", defaults.gen_lr)),
+                disc_lr=float(tc.get("disc_lr", defaults.disc_lr)),
+                betas=tuple(tc.get("betas", defaults.betas)),
             )
             for p_ in paths:
                 print(p_)

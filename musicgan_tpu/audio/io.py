@@ -21,8 +21,12 @@ __all__ = ["load_wav", "save_wav"]
 
 def _decode_via_optional_backends(path: str):
     """Best-effort decode through optional libraries: ``soundfile`` first
-    (lighter), then ``torchaudio`` (the reference's own decoder).  Returns
-    ``(mono_float32, sample_rate)`` or None when neither is importable."""
+    (lighter), then ``torchaudio`` (the reference's own decoder — also the
+    fallback when soundfile is installed but its libsndfile lacks the
+    codec, e.g. mp3 before libsndfile 1.2).  Returns ``(mono_float32,
+    sample_rate)``, None when neither is importable, or raises when an
+    installed decoder failed on a real decode error."""
+    first_error: Exception | None = None
     try:
         import soundfile  # type: ignore
 
@@ -30,15 +34,25 @@ def _decode_via_optional_backends(path: str):
         return data.mean(axis=1).astype(np.float32), int(sr)
     except ImportError:
         pass
-    except Exception as e:  # importable but failed to decode: surface it
-        raise ValueError(f"soundfile could not decode {path!r}: {e}") from e
+    except Exception as e:  # importable but failed: try torchaudio first
+        first_error = e
     try:
         import torchaudio  # type: ignore
 
         wav, sr = torchaudio.load(path)  # (channels, n), float32 [-1, 1]
         return wav.mean(0).numpy().astype(np.float32), int(sr)
     except ImportError:
+        if first_error is not None:
+            raise ValueError(
+                f"soundfile could not decode {path!r}: {first_error}"
+            ) from first_error
         return None
+    except Exception as e:
+        raise ValueError(
+            f"no installed decoder could read {path!r}: "
+            f"torchaudio: {e}"
+            + (f"; soundfile: {first_error}" if first_error else "")
+        ) from e
 
 _PCM_SCALE = {
     np.dtype(np.int16): 1 << 15,
@@ -66,13 +80,7 @@ def load_wav(path: str, expected_sample_rate: int | None = None):
                 "for mp3/flac/ogg support, matching the reference's "
                 "torchaudio.load breadth"
             ) from e
-        data, sr = decoded
-        if expected_sample_rate is not None and sr != expected_sample_rate:
-            raise ValueError(
-                f"Audio sample rate must be {expected_sample_rate}Hz, "
-                f'file "{path}" is {sr}Hz'
-            )
-        return data, sr
+        data, sr = decoded  # already mono float32; shared checks below
     if expected_sample_rate is not None and sr != expected_sample_rate:
         raise ValueError(
             f"Audio sample rate must be {expected_sample_rate}Hz, "

@@ -84,20 +84,10 @@ def load_generator_params(
 
         return load_reference_generator(ckpt, model_cfg)
 
-    from .train.checkpoint import CheckpointManager
+    from .train.checkpoint import CheckpointManager, resolve_checkpoint
     from .train.step import init_train_state
 
-    if os.path.basename(ckpt).startswith("save_"):
-        root, leaf = os.path.split(ckpt)
-        save_idx = int(leaf.split("_")[1])
-    else:
-        root = ckpt
-        if os.path.isdir(os.path.join(ckpt, "checkpoints")):
-            root = os.path.join(ckpt, "checkpoints")
-        mgr = CheckpointManager(root)
-        save_idx = mgr.latest()
-        if save_idx is None:
-            raise FileNotFoundError(f"no checkpoints under {root}")
+    root, save_idx = resolve_checkpoint(ckpt)
     mgr = CheckpointManager(root)
     template = init_train_state(jax.random.PRNGKey(0), model_cfg)
     state, _ = mgr.restore(save_idx, template)

@@ -523,16 +523,21 @@ def import_reference_run(
         grower._cum_train[stage - 1] if stage > 0 else 0
     ) + grower.step_sample_idx
 
+    import dataclasses
+
     mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
     mgr.save(
         0,
         state,
         {
-            "iteration": int(state.iter_idx),
+            # same key set the train loop's meta_dict writes, so eval /
+            # resume tooling reads imported saves identically
+            "iter_idx": int(state.iter_idx),
             "grower": grower.state_dict(),
             "saver_counter": 0,
             "epoch": 0,
             "epoch_batch_pos": 0,
+            "train_cfg": dataclasses.asdict(train_cfg),
             "imported_from": os.path.abspath(ref_dir),
             "imported_save_idx": save_idx,
         },

@@ -25,6 +25,28 @@ __all__ = ["CheckpointManager"]
 _STEP_RE = re.compile(r"^save_(\d+)$")
 
 
+def resolve_checkpoint(ckpt: str) -> tuple[str, int]:
+    """``(checkpoints_root, save_idx)`` from any of the checkpoint-path
+    spellings the CLI accepts: a specific ``.../save_N`` dir, a
+    ``.../checkpoints`` dir, or a run dir containing ``checkpoints/``
+    (latest save in the latter two).  Shared by ``generate``/``export``
+    so the resolution rules can't drift between subcommands."""
+    ckpt = os.path.normpath(ckpt)  # tolerate trailing slashes
+    m = _STEP_RE.match(os.path.basename(ckpt))
+    if m:
+        return os.path.dirname(ckpt), int(m.group(1))
+    root = ckpt
+    if os.path.isdir(os.path.join(ckpt, "checkpoints")):
+        root = os.path.join(ckpt, "checkpoints")
+    if not os.path.isdir(root):
+        # constructing CheckpointManager would mkdir a typo'd path
+        raise FileNotFoundError(f"checkpoint path does not exist: {root}")
+    save_idx = CheckpointManager(root).latest()
+    if save_idx is None:
+        raise FileNotFoundError(f"no checkpoints under {root}")
+    return root, save_idx
+
+
 class CheckpointManager:
     """Directory layout: ``{root}/save_{k}/state`` (orbax pytree) +
     ``{root}/save_{k}/meta.json`` (host-side counters)."""

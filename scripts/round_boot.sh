@@ -74,11 +74,15 @@ fi
 # epoch/batch cursor still addresses the same samples.
 OUT=/root/runs/quality_r4
 if ! ls "$OUT"/checkpoints/save_* >/dev/null 2>&1; then
-    SEED=$(ls -d "$REPO"/saved_models/quality_r4/resume_ckpt/save_* 2>/dev/null | tail -1)
+    # numeric sort: lexicographic `tail -1` would pick save_9 over save_80
+    SEED=$(for d in "$REPO"/saved_models/quality_r4/resume_ckpt/save_*/; do
+        [ -f "$d/meta.json" ] && basename "$d"
+    done | sed 's/save_//' | sort -n | tail -1)
     if [ -n "$SEED" ]; then
         mkdir -p "$OUT/checkpoints"
-        cp -r "$SEED" "$OUT/checkpoints/"
-        log "reseeded $(basename "$SEED") from the repo — pilot resumes instead of retraining"
+        cp -r "$REPO/saved_models/quality_r4/resume_ckpt/save_$SEED" \
+            "$OUT/checkpoints/"
+        log "reseeded save_$SEED from the repo — pilot resumes instead of retraining"
     fi
 fi
 

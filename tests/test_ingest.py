@@ -412,18 +412,56 @@ def test_one_chunk_boundary_consistent_across_backends():
     assert ingest.process_signal(sig, cfg, backend="native") is None
 
 
-def test_load_non_wav_without_optional_decoder_raises(tmp_path):
-    """A non-WAV file with neither soundfile nor torchaudio installed (this
-    image has neither) must fail with an actionable message, not scipy's
-    opaque RIFF error."""
+def test_load_non_wav_without_optional_decoder_raises(tmp_path, monkeypatch):
+    """A non-WAV file with neither soundfile nor torchaudio importable must
+    fail with an actionable message, not scipy's opaque RIFF error.
+    (sys.modules[name] = None forces ImportError even where the backends
+    ARE installed, so this holds on any dev machine.)"""
+    import sys
+
     import pytest
 
     from musicgan_tpu.audio.io import load_wav
 
+    monkeypatch.setitem(sys.modules, "soundfile", None)
+    monkeypatch.setitem(sys.modules, "torchaudio", None)
     p = tmp_path / "song.mp3"
     p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # mp3-ish header
     with pytest.raises(ValueError, match="optional audio decoder"):
         load_wav(str(p))
+
+
+def test_load_non_wav_soundfile_failure_falls_through_to_torchaudio(
+    tmp_path, monkeypatch
+):
+    """soundfile installed but lacking the codec (libsndfile < 1.2 has no
+    mp3) must not end the search — torchaudio, the reference's own
+    decoder, is tried next."""
+    import sys
+    import types
+
+    import torch as th
+
+    from musicgan_tpu.audio.io import load_wav
+
+    bad = types.ModuleType("soundfile")
+
+    def failing_read(path, dtype="float32", always_2d=True):
+        raise RuntimeError("Format not recognised")
+
+    bad.read = failing_read
+    monkeypatch.setitem(sys.modules, "soundfile", bad)
+
+    mono = np.linspace(-0.5, 0.5, 80, dtype=np.float32)
+    fake_ta = types.ModuleType("torchaudio")
+    fake_ta.load = lambda path: (th.from_numpy(mono[None, :]), 22050)
+    monkeypatch.setitem(sys.modules, "torchaudio", fake_ta)
+
+    p = tmp_path / "song.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    sig, sr = load_wav(str(p))
+    assert sr == 22050
+    np.testing.assert_allclose(sig, mono, atol=1e-7)
 
 
 def test_load_non_wav_via_optional_soundfile(tmp_path, monkeypatch):
