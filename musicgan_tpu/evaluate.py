@@ -35,6 +35,15 @@ nearest-track distance can be WON by collapsing onto one corpus track):
 * ``nearest_track_coverage``: fraction of distinct corpus tracks chosen
   as "nearest" across samples — collapse shows as every seed matching
   the SAME track.  Meaningful from ~8 seeds up.
+
+Temporal axis (the structure the long-term spectrum is blind to — a
+steady chord and a rhythmic arpeggio over the same notes share a
+``band_profile`` but not this): :func:`temporal_profile` bins the
+log-power modulation spectrum of the onset-strength envelope over
+log-spaced 0.25-20 Hz bands; per save the table reports
+``nearest_temporal_dist`` (distance to the rhythmically closest corpus
+track) and ``temporal_inter_sample_dist`` (rhythm diversity across
+seeds, calibrated by ``corpus_temporal_spread``).
 """
 
 from __future__ import annotations
@@ -48,13 +57,19 @@ from collections import defaultdict
 import numpy as np
 
 __all__ = [
-    "band_profile", "inter_sample_dist", "load_corpus_profiles",
-    "score_profiles", "score_auditions", "audition_run", "N_BANDS",
+    "band_profile", "temporal_profile", "inter_sample_dist",
+    "load_corpus_profiles", "score_profiles", "score_auditions",
+    "audition_run", "N_BANDS", "M_BANDS",
 ]
 
 N_BANDS = 48
 F_LO, F_HI = 40.0, 10000.0
 N_FFT = 2048
+
+# temporal (rhythm) axis: onset-modulation spectrum bands
+M_BANDS = 24
+MOD_LO, MOD_HI = 0.25, 20.0  # Hz: slow phrasing .. fast note events
+ENV_HOP = 1024  # envelope frame = ~23 ms at 44.1 kHz (~43 Hz frame rate)
 
 
 # ---------------------------------------------------------------------------
@@ -76,14 +91,59 @@ def band_profile(wav: np.ndarray, sr: int) -> np.ndarray:
     freqs = np.fft.rfftfreq(N_FFT, 1.0 / sr)
     edges = np.geomspace(F_LO, F_HI, N_BANDS + 1)
     centers = np.sqrt(edges[:-1] * edges[1:])
+    return _log_band_bin(power, freqs, edges, centers)
+
+
+def _log_band_bin(power, freqs, edges, centers) -> np.ndarray:
+    """Log-power binning over log-spaced bands, mean-subtracted
+    (gain-invariant); bands narrower than one FFT bin interpolate."""
     logp = np.log10(power + 1e-20)
-    prof = np.empty(N_BANDS)
-    for i in range(N_BANDS):
+    prof = np.empty(len(centers))
+    for i in range(len(centers)):
         sel = (freqs >= edges[i]) & (freqs < edges[i + 1])
-        # low bands can be narrower than one FFT bin — interpolate there
         prof[i] = (np.log10(power[sel].mean() + 1e-20) if sel.any()
                    else float(np.interp(centers[i], freqs, logp)))
-    return prof - prof.mean()  # gain-invariant
+    return prof - prof.mean()
+
+
+def temporal_profile(wav: np.ndarray, sr: int) -> np.ndarray:
+    """Gain-normalized onset-modulation profile — the TEMPORAL-structure
+    axis the spectral ``band_profile`` is blind to (a steady chord and a
+    rhythmic arpeggio over the same notes share a long-term spectrum but
+    not this).
+
+    Frame log-energies at ~43 Hz -> half-wave-rectified flux (onset
+    strength) -> log-power modulation spectrum binned over log-spaced
+    0.25-20 Hz bands (musical phrasing through fast note events; tempo
+    lands at beat/2pi-free FFT bins, so 60-160 BPM = 1-2.7 Hz is well
+    inside the range).  Same distance semantics as ``band_profile``:
+    mean-subtracted log profile, RMS distance comparable across saves."""
+    wav = np.asarray(wav, np.float64)
+    n = (len(wav) // ENV_HOP) * ENV_HOP
+    if n == 0:
+        raise ValueError(
+            f"waveform too short for a temporal profile: {len(wav)} "
+            f"samples < ENV_HOP={ENV_HOP}"
+        )
+    frames = wav[:n].reshape(-1, ENV_HOP)
+    p = (frames**2).mean(axis=1)
+    pmax = p.max()
+    if pmax <= 0.0:  # digital silence
+        return np.zeros(M_BANDS)
+    # floor RELATIVE to the loudest frame (-60 dB gate): an absolute
+    # floor would break gain invariance on silent inter-onset frames
+    energy = np.log10(p + 1e-6 * pmax)
+    onset = np.maximum(np.diff(energy), 0.0)
+    if len(onset) < 8:
+        # too short to resolve any modulation band: flat (zero) profile
+        return np.zeros(M_BANDS)
+    onset = (onset - onset.mean()) * np.hanning(len(onset))
+    frame_rate = sr / ENV_HOP
+    power = np.abs(np.fft.rfft(onset)) ** 2
+    freqs = np.fft.rfftfreq(len(onset), 1.0 / frame_rate)
+    edges = np.geomspace(MOD_LO, MOD_HI, M_BANDS + 1)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    return _log_band_bin(power, freqs, edges, centers)
 
 
 def inter_sample_dist(profiles: np.ndarray) -> float:
@@ -148,34 +208,59 @@ def score_auditions(
     and optionally writes it as JSON."""
     from .audio.io import load_wav
 
-    corpus = load_corpus_profiles(corpus_dir)
+    # one pass over the corpus builds BOTH profile kinds (the wav decode
+    # dominates; 2x read of a 640-track corpus would cost minutes)
+    spec_p, temp_p = [], []
+    for p in sorted(glob.glob(os.path.join(corpus_dir, "*.wav"))):
+        wav, sr = load_wav(p)
+        spec_p.append(band_profile(wav, sr))
+        temp_p.append(temporal_profile(wav, sr))
+    if not spec_p:
+        raise ValueError(f"no .wav corpus tracks under {corpus_dir}")
+    corpus = np.stack(spec_p)
+    corpus_t = np.stack(temp_p)
     corpus_spread = inter_sample_dist(corpus)
+    corpus_t_spread = inter_sample_dist(corpus_t)
     if verbose:
         print(f"corpus: {len(corpus)} tracks, {N_BANDS} bands "
               f"{F_LO:.0f}-{F_HI:.0f} Hz, inter-track dist "
-              f"{corpus_spread:.4f} (diversity calibration)")
+              f"{corpus_spread:.4f} (diversity calibration); temporal "
+              f"{M_BANDS} bands {MOD_LO}-{MOD_HI} Hz, spread "
+              f"{corpus_t_spread:.4f}")
 
     per_save: dict[int, list[np.ndarray]] = defaultdict(list)
+    per_save_t: dict[int, list[np.ndarray]] = defaultdict(list)
     for p in sorted(glob.glob(os.path.join(audition_dir, "*.wav"))):
         m = re.match(r"save(\d+)_", os.path.basename(p))
         if not m:
             continue
         wav, sr = load_wav(p)
         per_save[int(m.group(1))].append(band_profile(wav, sr))
+        per_save_t[int(m.group(1))].append(temporal_profile(wav, sr))
 
-    results: dict = {"corpus_inter_track_dist": corpus_spread}
+    results: dict = {
+        "corpus_inter_track_dist": corpus_spread,
+        "corpus_temporal_spread": corpus_t_spread,
+    }
     if verbose:
         print(f"\n{'save':>5} {'nearest-track dist':>19} "
               f"{'mean-profile dist':>18} {'inter-sample dist':>18} "
-              f"{'coverage':>9}")
+              f"{'coverage':>9} {'temporal dist':>14} {'t-diversity':>12}")
     for k in sorted(per_save):
         r = score_profiles(np.stack(per_save[k]), corpus)
+        gt = np.stack(per_save_t[k])
+        dt = np.sqrt(((gt[:, None, :] - corpus_t[None, :, :]) ** 2
+                      ).mean(axis=2))
+        r["nearest_temporal_dist"] = float(dt.min(axis=1).mean())
+        r["temporal_inter_sample_dist"] = inter_sample_dist(gt)
         results[k] = r
         if verbose:
             print(f"{k:>5} {r['nearest_track_dist']:>19.4f} "
                   f"{r['mean_profile_dist']:>18.4f} "
                   f"{r['inter_sample_dist']:>18.4f} "
-                  f"{r['nearest_track_coverage']:>9.2f}")
+                  f"{r['nearest_track_coverage']:>9.2f} "
+                  f"{r['nearest_temporal_dist']:>14.4f} "
+                  f"{r['temporal_inter_sample_dist']:>12.4f}")
 
     if json_out:
         with open(json_out, "w") as f:

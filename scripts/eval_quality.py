@@ -22,6 +22,7 @@ from musicgan_tpu.evaluate import (  # noqa: F401  (re-exported: tests and
     band_profile,
     inter_sample_dist,
     score_auditions,
+    temporal_profile,
 )
 
 

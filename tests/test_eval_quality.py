@@ -141,8 +141,62 @@ def test_audition_and_score_end_to_end(tmp_path):
     row = res[save_keys[0]]
     assert set(row) == {"nearest_track_dist", "mean_profile_dist",
                         "inter_sample_dist", "nearest_track_coverage",
-                        "n_samples"}
+                        "n_samples", "nearest_temporal_dist",
+                        "temporal_inter_sample_dist"}
     assert row["n_samples"] == 2
     assert np.isfinite(row["nearest_track_dist"])
+    assert np.isfinite(row["nearest_temporal_dist"])
+    assert np.isfinite(res["corpus_temporal_spread"])
     with open(tmp_path / "scores.json") as f:
         assert json.load(f)  # table persisted
+
+
+def _click_train(rate_hz, seconds=20.0, amp=0.8, offset=0.0):
+    """Decaying-noise clicks at a fixed rate: same long-term spectrum for
+    any rate (same click timbre), different rhythm."""
+    n = int(SR * seconds)
+    sig = np.zeros(n)
+    rng = np.random.default_rng(3)
+    click = rng.standard_normal(2048) * np.exp(-np.linspace(0, 8, 2048))
+    pos = offset
+    while pos < seconds:
+        i0 = int(pos * SR)
+        i1 = min(i0 + len(click), n)
+        sig[i0:i1] += click[: i1 - i0]
+        pos += 1.0 / rate_hz
+    return amp * sig / np.abs(sig).max()
+
+
+def test_temporal_profile_gain_invariant():
+    w = _click_train(2.0)
+    a = eval_quality.temporal_profile(w, SR)
+    b = eval_quality.temporal_profile(w * 10.0, SR)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_temporal_profile_discriminates_tempo_not_phase():
+    """The axis the spectral profile is blind to: 2 Hz vs 5 Hz click
+    trains share a long-term spectrum (same click) but must be far apart
+    temporally, while a time-shifted same-tempo train stays close."""
+    a = eval_quality.temporal_profile(_click_train(2.0), SR)
+    a_shift = eval_quality.temporal_profile(_click_train(2.0, offset=0.21),
+                                            SR)
+    b = eval_quality.temporal_profile(_click_train(5.0), SR)
+
+    def rms(x, y):
+        return float(np.sqrt(((x - y) ** 2).mean()))
+
+    assert rms(a, a_shift) * 3 < rms(a, b)
+
+    # ...and the SPECTRAL profile indeed cannot separate them (the blind
+    # spot this axis exists for)
+    sa = eval_quality.band_profile(_click_train(2.0), SR)
+    sb = eval_quality.band_profile(_click_train(5.0), SR)
+    assert rms(sa, sb) < 0.5 * rms(a, b)
+
+
+def test_temporal_profile_short_input_is_flat_not_crash():
+    w = np.random.default_rng(0).uniform(-1, 1, 4096)  # 4 frames
+    prof = eval_quality.temporal_profile(w, SR)
+    assert prof.shape == (eval_quality.M_BANDS,)
+    np.testing.assert_array_equal(prof, 0.0)
