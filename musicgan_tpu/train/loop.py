@@ -583,18 +583,22 @@ def train(
         run_epochs()
         flush_logs()  # cadence rows deferred past the final dispatch
     except Exception as e:
+        # A dying runtime under us is exactly as retryable as a stall.
         # Multi-host: a dead lead/coordinator surfaces on the survivors
-        # as a gRPC-flavored runtime error from the next collective —
-        # exactly as retryable as a stall.  Map it to the supervisor's
-        # retry contract (EXIT_STALLED) so every host relaunches; an
-        # unmapped rc-1 here makes the follower's supervisor give up and
-        # the relaunched lead then blocks forever in
-        # initialize_distributed (ADVICE r3).
-        if num_hosts > 1 and is_distributed_failure(e):
+        # as a gRPC-flavored runtime error from the next collective; an
+        # unmapped rc-1 makes the follower's supervisor give up and the
+        # relaunched lead then blocks forever in initialize_distributed
+        # (ADVICE r3).  Single-host: a device/tunnel death surfaces the
+        # same way ("UNAVAILABLE: TPU worker process crashed or
+        # restarted" — seen live mid-run at iter ~212k; the rc-1 made
+        # run_supervised give up 4.5 h early instead of resuming from
+        # the cadence checkpoint).  The supervisor's --max-restarts
+        # budget bounds retry loops on genuinely fatal errors.
+        if is_distributed_failure(e):
             from ..utils.watchdog import EXIT_STALLED
 
             print(
-                f"[train] distributed runtime failure "
+                f"[train] retryable runtime failure "
                 f"({type(e).__name__}: {e}); exiting {EXIT_STALLED} "
                 "for supervised restart from the latest checkpoint",
                 flush=True,

@@ -46,6 +46,14 @@ def test_is_distributed_failure_classification():
             "initialization failed: [external/gloo/gloo/transport/tcp/"
             "pair.h:311] Connect timeout [none]"
         ),
+        # seen live single-host: the TPU worker died mid-run and the
+        # rc-1 exit made the supervisor give up instead of resuming —
+        # the mapping now applies regardless of host count
+        RuntimeError(
+            "UNAVAILABLE: TPU worker process crashed or restarted. "
+            "This can be caused by a kernel fault — check the kernel "
+            "before re-running."
+        ),
     ]
     not_retryable = [
         AssertionError("batch 6 not divisible by 4 devices"),
