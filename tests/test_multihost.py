@@ -252,12 +252,31 @@ def test_two_process_sigterm_exit75_then_bitexact_resume(tmp_path):
         assert p.returncode == 0, f"resume failed:\n{o[-3000:]}"
 
     # --- phase 3: uninterrupted control run to the same iteration ----------
+    # One bounded retry: on a heavily oversubscribed host (1-core CI with a
+    # concurrent training run) the coordination-service SHUTDOWN barrier can
+    # time out in an otherwise-successful control run (observed live:
+    # "Shutdown barrier in coordination service has failed ... 1/2").  The
+    # control run is side-effect free, so a fresh re-run is sound; any
+    # non-environmental failure still fails the second attempt.
     out_b = str(tmp_path / "out_control")
-    procs = _launch_pair(f"127.0.0.1:{_free_port()}", ds, out_b,
-                         f"full:{target}", env)
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"control failed:\n{o[-3000:]}"
+    for attempt in (1, 2):
+        procs = _launch_pair(f"127.0.0.1:{_free_port()}", ds, out_b,
+                             f"full:{target}", env)
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        envish = any(
+            m in o.lower()
+            for o in outs
+            for m in ("barrier", "coordination", "deadline_exceeded",
+                      "unavailable")
+        )
+        if attempt == 2 or not envish:
+            for p, o in zip(procs, outs):
+                assert p.returncode == 0, f"control failed:\n{o[-3000:]}"
+        import shutil
+
+        shutil.rmtree(out_b, ignore_errors=True)
 
     resumed = np.load(os.path.join(out_a, "final_params.npz"))
     control = np.load(os.path.join(out_b, "final_params.npz"))

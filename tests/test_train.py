@@ -820,3 +820,45 @@ def test_device_dataset_bf16_halves_budget_requirement(tmp_path):
     )
     for leaf in jax.tree_util.tree_leaves(s):
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+def test_single_host_device_loss_maps_to_retryable_exit(tmp_path, monkeypatch):
+    """A dying device runtime mid-run (e.g. "UNAVAILABLE: TPU worker
+    process crashed or restarted", seen live) must exit with the
+    supervisor's retry code on a SINGLE-host run too — the mapping used to
+    be gated to multi-host, so the rc-1 crash made run_supervised give up
+    instead of resuming from the cadence checkpoint."""
+    import pytest
+
+    from musicgan_tpu.train import loop as loop_mod
+    from musicgan_tpu.train import train
+    from musicgan_tpu.utils.watchdog import EXIT_STALLED
+
+    ds = _synth_dataset(tmp_path)
+    cfg = dataclasses.replace(
+        FAST_CFG, chunk_steps=1, save_every=10**6, log_every=1,
+        nb_preview=1,
+    )
+
+    real_build = loop_mod.build_step
+    calls = {"n": 0}
+
+    def failing_build(*a, **k):
+        step = real_build(*a, **k)
+
+        def wrapped(*sa, **sk):
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU worker process crashed or restarted."
+                )
+            return step(*sa, **sk)
+
+        return wrapped
+
+    monkeypatch.setattr(loop_mod, "build_step", failing_build)
+    with pytest.raises(SystemExit) as ei:
+        train("devloss", ds, str(tmp_path / "out_devloss"), cfg, TINY_CFG,
+              max_iters=50, mesh=None)
+    assert ei.value.code == EXIT_STALLED
+    assert calls["n"] > 3  # the run really trained before the injected loss
