@@ -603,6 +603,29 @@ def train(
                 "for supervised restart from the latest checkpoint",
                 flush=True,
             )
+            if num_hosts > 1:
+                # NOT SystemExit on a pod: unwinding through interpreter
+                # teardown gives the distributed client's error-polling
+                # thread (and the atexit shutdown barrier, already doomed
+                # with a dead peer) a window to abort the process with a
+                # generic rc — observed live: the 75 intent printed, then
+                # "Terminating process because the JAX distributed
+                # service detected fatal errors" exited 1 and the
+                # supervisor gave up.  Tear down what the finally would,
+                # then exit with the contract code immediately, exactly
+                # like the stall watchdog does.  Single-host runs have no
+                # distributed client (no abort race) and keep SystemExit
+                # so in-process callers can observe the code.
+                import os as _os
+                import sys as _sys
+
+                watchdog.close()
+                _restore_preemption_handlers(_prev_sig)
+                if logger is not None:
+                    logger.close()
+                _sys.stdout.flush()
+                _sys.stderr.flush()
+                _os._exit(EXIT_STALLED)
             raise SystemExit(EXIT_STALLED) from e
         raise
     finally:
