@@ -59,7 +59,7 @@ import numpy as np
 __all__ = [
     "band_profile", "temporal_profile", "inter_sample_dist",
     "load_corpus_profiles", "score_profiles", "score_auditions",
-    "audition_run", "N_BANDS", "M_BANDS",
+    "audition_run", "compare_artifacts", "N_BANDS", "M_BANDS",
 ]
 
 N_BANDS = 48
@@ -266,6 +266,73 @@ def score_auditions(
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1)
     return results
+
+
+def compare_artifacts(
+    ckpts: list[str],
+    corpus_dir: str,
+    seeds: int = 8,
+    nb_vec: int = 2,
+    seed: int = 1234,
+    out_dir: str | None = None,
+    json_out: str | None = None,
+    model_cfg=None,
+    verbose: bool = True,
+) -> dict:
+    """Head-to-head scoring of trained generator artifacts: render the
+    SAME latents through each (reference ``gen_*.pt`` files or our
+    checkpoint/run dirs), then score them all with :func:`score_auditions`
+    — so table differences are attributable to the weights alone.  The
+    table's ``save`` index is the artifact's position in ``ckpts``; the
+    returned dict carries an ``artifacts`` index->path legend.
+
+    The tool for "did training past the schedule end improve the
+    artifact?" (reference bar: its 419k-iteration ``gen_419.pt`` vs the
+    schedule end at ~268k)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from .config import ModelConfig
+    from .generate import generate
+
+    cfg = model_cfg if model_cfg is not None else ModelConfig()
+    tmp = out_dir or tempfile.mkdtemp(prefix="compare_artifacts_")
+    os.makedirs(tmp, exist_ok=True)
+
+    z = jax.random.normal(
+        jax.random.PRNGKey(seed),
+        (seeds, cfg.latent_height, cfg.latent_width * nb_vec,
+         cfg.rand_channels),
+    )
+    if verbose:
+        print("artifacts under comparison:")
+        for i, ckpt in enumerate(ckpts):
+            print(f"  save {i:3d} = {ckpt}")
+
+    try:
+        for i, ckpt in enumerate(ckpts):
+            stage_dir = os.path.join(tmp, f"_render_{i}")
+            paths = generate(
+                stage_dir, cfg.rand_channels, ckpt,
+                nb_vec=nb_vec, nb_music=seeds, z=z,
+                stage=cfg.n_stages - 1, model_cfg=cfg,
+            )
+            for s, p in enumerate(paths):
+                shutil.move(p, os.path.join(tmp, f"save{i:03d}_ID{s}.wav"))
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+        results = score_auditions(tmp, corpus_dir, json_out=None,
+                                  verbose=verbose)
+        results["artifacts"] = {str(i): c for i, c in enumerate(ckpts)}
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(results, f, indent=1)
+        return results
+    finally:
+        if out_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

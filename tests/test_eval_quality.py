@@ -150,6 +150,21 @@ def test_audition_and_score_end_to_end(tmp_path):
     with open(tmp_path / "scores.json") as f:
         assert json.load(f)  # table persisted
 
+    # --- head-to-head artifact comparison over the same latents ---------
+    from musicgan_tpu.evaluate import compare_artifacts
+
+    cmp_res = compare_artifacts(
+        [run_dir, run_dir], str(corpus), seeds=2, nb_vec=1,
+        json_out=str(tmp_path / "cmp.json"), model_cfg=TINY_MODEL,
+        verbose=False,
+    )
+    assert cmp_res["artifacts"] == {"0": run_dir, "1": run_dir}
+    # identical weights + identical latents => identical scores
+    assert (cmp_res[0]["nearest_track_dist"]
+            == cmp_res[1]["nearest_track_dist"])
+    with open(tmp_path / "cmp.json") as f:
+        assert "artifacts" in json.load(f)
+
 
 def _click_train(rate_hz, seconds=20.0, amp=0.8, offset=0.0):
     """Decaying-noise clicks at a fixed rate: same long-term spectrum for
