@@ -163,6 +163,24 @@ def main() -> None:
     p.add_argument("--json-out", type=str, default=None,
                    help="write the score table as JSON (requires --corpus)")
 
+    p = sub.add_parser(
+        "compare",
+        help="head-to-head artifact scoring: render the SAME latents "
+             "through each checkpoint/.pt and score all against a corpus",
+    )
+    p.add_argument("ckpts", nargs="+",
+                   help="two or more artifacts: reference gen_*.pt files "
+                        "or our checkpoint/run dirs")
+    p.add_argument("--corpus", type=str, required=True,
+                   help="directory of corpus WAV tracks")
+    p.add_argument("--seeds", type=int, default=8)
+    p.add_argument("--nb-vec", type=int, default=2)
+    p.add_argument("--latent-seed", type=int, default=1234,
+                   help="latent RNG seed (same latents for every artifact)")
+    p.add_argument("-o", "--out-dir", type=str, default=None,
+                   help="keep the rendered WAVs here (default: temp dir)")
+    p.add_argument("--json-out", type=str, default=None)
+
     sub.add_parser(
         "info", help="environment diagnostics: devices, native ops, autotune"
     )
@@ -378,6 +396,15 @@ def main() -> None:
         )
         if args.corpus:
             score_auditions(out, args.corpus, json_out=args.json_out)
+
+    elif args.mode == "compare":
+        from .evaluate import compare_artifacts
+
+        compare_artifacts(
+            args.ckpts, args.corpus, seeds=args.seeds, nb_vec=args.nb_vec,
+            seed=args.latent_seed, out_dir=args.out_dir,
+            json_out=args.json_out,
+        )
 
     elif args.mode == "info":
         import json as _json
