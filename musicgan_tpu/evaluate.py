@@ -158,17 +158,25 @@ def inter_sample_dist(profiles: np.ndarray) -> float:
     return float(d[np.triu_indices(s, k=1)].mean())
 
 
-def load_corpus_profiles(corpus_dir: str) -> np.ndarray:
-    """Band profiles ``(T, B)`` for every ``*.wav`` under ``corpus_dir``."""
+def _load_corpus_both(corpus_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """One decode pass over the corpus -> (spectral ``(T, B)``, temporal
+    ``(T, M)``) profiles.  The wav decode dominates; a second pass over a
+    640-track corpus would cost minutes."""
     from .audio.io import load_wav
 
-    profiles = []
+    spec, temp = [], []
     for p in sorted(glob.glob(os.path.join(corpus_dir, "*.wav"))):
         wav, sr = load_wav(p)
-        profiles.append(band_profile(wav, sr))
-    if not profiles:
+        spec.append(band_profile(wav, sr))
+        temp.append(temporal_profile(wav, sr))
+    if not spec:
         raise ValueError(f"no .wav corpus tracks under {corpus_dir}")
-    return np.stack(profiles)
+    return np.stack(spec), np.stack(temp)
+
+
+def load_corpus_profiles(corpus_dir: str) -> np.ndarray:
+    """Band profiles ``(T, B)`` for every ``*.wav`` under ``corpus_dir``."""
+    return _load_corpus_both(corpus_dir)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -208,17 +216,7 @@ def score_auditions(
     and optionally writes it as JSON."""
     from .audio.io import load_wav
 
-    # one pass over the corpus builds BOTH profile kinds (the wav decode
-    # dominates; 2x read of a 640-track corpus would cost minutes)
-    spec_p, temp_p = [], []
-    for p in sorted(glob.glob(os.path.join(corpus_dir, "*.wav"))):
-        wav, sr = load_wav(p)
-        spec_p.append(band_profile(wav, sr))
-        temp_p.append(temporal_profile(wav, sr))
-    if not spec_p:
-        raise ValueError(f"no .wav corpus tracks under {corpus_dir}")
-    corpus = np.stack(spec_p)
-    corpus_t = np.stack(temp_p)
+    corpus, corpus_t = _load_corpus_both(corpus_dir)
     corpus_spread = inter_sample_dist(corpus)
     corpus_t_spread = inter_sample_dist(corpus_t)
     if verbose:
@@ -248,11 +246,11 @@ def score_auditions(
               f"{'coverage':>9} {'temporal dist':>14} {'t-diversity':>12}")
     for k in sorted(per_save):
         r = score_profiles(np.stack(per_save[k]), corpus)
-        gt = np.stack(per_save_t[k])
-        dt = np.sqrt(((gt[:, None, :] - corpus_t[None, :, :]) ** 2
-                      ).mean(axis=2))
-        r["nearest_temporal_dist"] = float(dt.min(axis=1).mean())
-        r["temporal_inter_sample_dist"] = inter_sample_dist(gt)
+        # same distance kernel on the temporal profiles (one
+        # implementation, provably identical semantics on both axes)
+        rt = score_profiles(np.stack(per_save_t[k]), corpus_t)
+        r["nearest_temporal_dist"] = rt["nearest_track_dist"]
+        r["temporal_inter_sample_dist"] = rt["inter_sample_dist"]
         results[k] = r
         if verbose:
             print(f"{k:>5} {r['nearest_track_dist']:>19.4f} "
@@ -300,6 +298,26 @@ def compare_artifacts(
     cfg = model_cfg if model_cfg is not None else ModelConfig()
     tmp = out_dir or tempfile.mkdtemp(prefix="compare_artifacts_")
     os.makedirs(tmp, exist_ok=True)
+    # a reused --out-dir may hold save*.wav from a previous compare/eval;
+    # score_auditions globs them all, so stale files would inject phantom
+    # rows (or mixed-latent rows) into the table — clear them first
+    for stale in glob.glob(os.path.join(tmp, "save*.wav")):
+        os.remove(stale)
+
+    def _artifact_stage(ckpt: str) -> int:
+        """Render each OUR-format checkpoint at its recorded growth stage
+        (a mid-growth save rendered at the top stage would push random
+        untrained blocks — silently scoring noise).  Reference ``.pt``
+        files are fully-grown by the reference's own convention (its
+        generate.py only loads end_layer=7 models)."""
+        if os.path.isfile(ckpt) and ckpt.endswith(".pt"):
+            return cfg.n_stages - 1
+        from .train.checkpoint import resolve_checkpoint
+
+        root, save_idx = resolve_checkpoint(ckpt)
+        with open(os.path.join(root, f"save_{save_idx}", "meta.json")) as f:
+            meta = json.load(f)
+        return min(int(meta["grower"]["curr_grow"]), cfg.n_stages - 1)
 
     z = jax.random.normal(
         jax.random.PRNGKey(seed),
@@ -317,7 +335,7 @@ def compare_artifacts(
             paths = generate(
                 stage_dir, cfg.rand_channels, ckpt,
                 nb_vec=nb_vec, nb_music=seeds, z=z,
-                stage=cfg.n_stages - 1, model_cfg=cfg,
+                stage=_artifact_stage(ckpt), model_cfg=cfg,
             )
             for s, p in enumerate(paths):
                 shutil.move(p, os.path.join(tmp, f"save{i:03d}_ID{s}.wav"))

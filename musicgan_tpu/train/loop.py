@@ -594,7 +594,21 @@ def train(
         # run_supervised give up 4.5 h early instead of resuming from
         # the cadence checkpoint).  The supervisor's --max-restarts
         # budget bounds retry loops on genuinely fatal errors.
-        if is_distributed_failure(e):
+        #
+        # Single-host additionally requires the exception to BE a
+        # device-runtime error (JaxRuntimeError/XlaRuntimeError), not
+        # just message-match the substring markers — a BrokenPipeError
+        # from a closed preview stream, or any library error mentioning
+        # "unavailable", must keep propagating as a real crash rather
+        # than burn the restart budget.  Multi-host keeps the broader
+        # match: collective/coordination deaths can surface through
+        # non-XLA gRPC channels.
+        from ..utils.watchdog import is_runtime_error
+
+        retryable = is_distributed_failure(e) and (
+            num_hosts > 1 or is_runtime_error(e)
+        )
+        if retryable:
             from ..utils.watchdog import EXIT_STALLED
 
             print(
@@ -619,13 +633,18 @@ def train(
                 import os as _os
                 import sys as _sys
 
-                watchdog.close()
-                _restore_preemption_handlers(_prev_sig)
-                if logger is not None:
-                    logger.close()
-                _sys.stdout.flush()
-                _sys.stderr.flush()
-                _os._exit(EXIT_STALLED)
+                try:
+                    # best-effort teardown: an exception here (e.g. a
+                    # logger flush to the same dead runtime) must NOT
+                    # skip the os._exit and reopen the rc-1 abort race
+                    watchdog.close()
+                    _restore_preemption_handlers(_prev_sig)
+                    if logger is not None:
+                        logger.close()
+                    _sys.stdout.flush()
+                    _sys.stderr.flush()
+                finally:
+                    _os._exit(EXIT_STALLED)
             raise SystemExit(EXIT_STALLED) from e
         raise
     finally:

@@ -40,6 +40,7 @@ __all__ = [
     "StallWatchdog",
     "beat_active",
     "is_distributed_failure",
+    "is_runtime_error",
 ]
 
 # BSD sysexits EX_TEMPFAIL: "temporary failure, retry is reasonable".
@@ -94,6 +95,23 @@ _DIST_FAILURE_MARKERS = (
     "gloo context initialization failed",
     "connect timeout",
 )
+
+
+def is_runtime_error(exc: BaseException) -> bool:
+    """Is ``exc`` an XLA/JAX *runtime* error (the class device/tunnel
+    deaths surface as), as opposed to an ordinary Python exception whose
+    message merely contains a distributed-failure marker?  Single-host
+    retryable-exit mapping requires this so e.g. a BrokenPipeError from a
+    closed preview stream keeps propagating as a real crash."""
+    try:
+        from jax.errors import JaxRuntimeError
+    except ImportError:  # very old jax
+        JaxRuntimeError = ()  # type: ignore[assignment]
+    if isinstance(exc, JaxRuntimeError):
+        return True
+    # XlaRuntimeError is JaxRuntimeError's alias in current jax, but
+    # older jaxlibs raise their own class; match by name as a fallback.
+    return type(exc).__name__ in ("XlaRuntimeError", "JaxRuntimeError")
 
 
 def is_distributed_failure(exc: BaseException) -> bool:

@@ -33,8 +33,10 @@ def main() -> None:
                     help="directory of corpus WAVs to score against")
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--nb-vec", type=int, default=2)
-    ap.add_argument("--seed", type=int, default=1234,
-                    help="latent RNG seed (same latents for every artifact)")
+    ap.add_argument("--latent-seed", "--seed", dest="latent_seed",
+                    type=int, default=1234,
+                    help="latent RNG seed (same latents for every artifact; "
+                         "same flag name as the CLI subcommand)")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("-o", "--out-dir", type=str, default=None,
                     help="keep the rendered WAVs here (default: temp dir)")
@@ -52,7 +54,8 @@ def main() -> None:
     enable_compilation_cache()
     compare_artifacts(
         args.ckpts, args.corpus, seeds=args.seeds, nb_vec=args.nb_vec,
-        seed=args.seed, out_dir=args.out_dir, json_out=args.json_out,
+        seed=args.latent_seed, out_dir=args.out_dir,
+        json_out=args.json_out,
     )
 
 

@@ -849,7 +849,12 @@ def test_single_host_device_loss_maps_to_retryable_exit(tmp_path, monkeypatch):
         def wrapped(*sa, **sk):
             calls["n"] += 1
             if calls["n"] > 3:
-                raise RuntimeError(
+                # the real class device deaths surface as — single-host
+                # mapping requires it (a marker-matching plain exception
+                # must keep propagating as an ordinary crash)
+                from jax.errors import JaxRuntimeError
+
+                raise JaxRuntimeError(
                     "UNAVAILABLE: TPU worker process crashed or restarted."
                 )
             return step(*sa, **sk)

@@ -65,6 +65,21 @@ def test_is_distributed_failure_classification():
     assert not any(is_distributed_failure(e) for e in not_retryable)
 
 
+def test_is_runtime_error_gates_single_host_mapping():
+    """Single-host retryable mapping requires a real XLA/JAX runtime
+    error: a plain exception that merely message-matches a marker (e.g.
+    BrokenPipeError contains 'broken pipe') must stay a real crash."""
+    from jax.errors import JaxRuntimeError
+
+    from musicgan_tpu.utils.watchdog import is_runtime_error
+
+    assert is_runtime_error(
+        JaxRuntimeError("UNAVAILABLE: TPU worker process crashed")
+    )
+    assert not is_runtime_error(BrokenPipeError("[Errno 32] Broken pipe"))
+    assert not is_runtime_error(RuntimeError("unavailable-ish library msg"))
+
+
 def _wait_for(pred, timeout=5.0):
     t0 = time.monotonic()
     while time.monotonic() - t0 < timeout:
