@@ -300,8 +300,18 @@ def compare_artifacts(
     os.makedirs(tmp, exist_ok=True)
     # a reused --out-dir may hold save*.wav from a previous compare/eval;
     # score_auditions globs them all, so stale files would inject phantom
-    # rows (or mixed-latent rows) into the table — clear them first
-    for stale in glob.glob(os.path.join(tmp, "save*.wav")):
+    # rows (or mixed-latent rows) into the table — clear them first, but
+    # say so: silently deleting a user's previous audition WAVs is a
+    # destructive surprise (ADVICE r4)
+    stale_wavs = sorted(glob.glob(os.path.join(tmp, "save*.wav")))
+    if stale_wavs:
+        print(
+            f"[compare] clearing {len(stale_wavs)} stale audition WAV(s) "
+            f"from {tmp} (they would corrupt the score table): "
+            + ", ".join(os.path.basename(s) for s in stale_wavs[:8])
+            + (" …" if len(stale_wavs) > 8 else "")
+        )
+    for stale in stale_wavs:
         os.remove(stale)
 
     def _artifact_stage(ckpt: str) -> int:

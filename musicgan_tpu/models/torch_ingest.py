@@ -376,6 +376,11 @@ def load_reference_adam(
             tree = tree[p]
         tree[path[-1]] = val
 
+    def _get(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
     # torch enumerates params group-by-group in insertion order — the same
     # ordinal order `order` was built in.
     flat = [i for g in sd["param_groups"] for i in g["params"]]
@@ -387,8 +392,23 @@ def load_reference_adam(
         step = ent["step"]
         step = int(step.item() if torch.is_tensor(step) else step)
         _set(count, p, np.asarray(step, np.int32))
-        _set(mu, p, np.asarray(_moment_from_torch(ent["exp_avg"])))
-        _set(nu, p, np.asarray(_moment_from_torch(ent["exp_avg_sq"])))
+        mu_val = np.asarray(_moment_from_torch(ent["exp_avg"]))
+        nu_val = np.asarray(_moment_from_torch(ent["exp_avg_sq"]))
+        # Group arity alone can't catch a save from a different
+        # ModelConfig whose group sizes coincide; a wrong-shaped moment
+        # would otherwise surface only deep inside a jitted update (or
+        # broadcast silently).  Pin each moment to the template leaf
+        # (ADVICE r4).
+        want = _get(template.mu, p).shape
+        if mu_val.shape != want or nu_val.shape != want:
+            raise ValueError(
+                f"{which} Adam moment shape mismatch at "
+                f"{'/'.join(map(str, p))}: torch gives "
+                f"{mu_val.shape}/{nu_val.shape}, template expects {want} — "
+                "the save likely comes from a different ModelConfig"
+            )
+        _set(mu, p, mu_val)
+        _set(nu, p, nu_val)
 
     make = type(template)
     to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731

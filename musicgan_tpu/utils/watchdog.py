@@ -91,9 +91,11 @@ _DIST_FAILURE_MARKERS = (
     # survivor's next collective (or any fetch depending on it) raises
     # "Gloo context initialization failed: ... Connect timeout" — seen
     # live when SIGTERM hit the lead under host load (the follower's
-    # log_metrics device_get surfaced it as a JaxRuntimeError).
+    # log_metrics device_get surfaced it as a JaxRuntimeError).  The
+    # prefix alone covers that message; a bare "connect timeout" marker
+    # would also swallow unrelated client timeouts (HTTP/MLflow) on the
+    # multi-host path, which matches by message only (ADVICE r4).
     "gloo context initialization failed",
-    "connect timeout",
 )
 
 
