@@ -16,6 +16,25 @@ from __future__ import annotations
 import argparse
 
 
+def _add_holdout_args(p: argparse.ArgumentParser) -> None:
+    """Held-out scoring axis, shared by ``eval`` and ``compare`` (round-4
+    VERDICT item 4: the training-corpus score alone cannot distinguish
+    memorization from generalization)."""
+    p.add_argument(
+        "--holdout-frac", type=float, default=0.0,
+        help="deterministically hold out this fraction of corpus tracks "
+             "and report nearest-held-out distance + gap beside the "
+             "training-corpus score")
+    p.add_argument(
+        "--holdout-dir", type=str, default=None,
+        help="directory of WAV tracks the generator never trained on "
+             "(scored as the held-out reference; mutually exclusive "
+             "with --holdout-frac)")
+    p.add_argument(
+        "--holdout-seed", type=int, default=17,
+        help="seed for the --holdout-frac track split")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser("musicgan_tpu")
     # Shared by every subcommand.  A --platform flag (not an env var)
@@ -162,6 +181,7 @@ def main() -> None:
                         "checkpoint carries an EMA copy")
     p.add_argument("--json-out", type=str, default=None,
                    help="write the score table as JSON (requires --corpus)")
+    _add_holdout_args(p)
 
     p = sub.add_parser(
         "compare",
@@ -180,6 +200,7 @@ def main() -> None:
     p.add_argument("-o", "--out-dir", type=str, default=None,
                    help="keep the rendered WAVs here (default: temp dir)")
     p.add_argument("--json-out", type=str, default=None)
+    _add_holdout_args(p)
 
     sub.add_parser(
         "info", help="environment diagnostics: devices, native ops, autotune"
@@ -395,7 +416,12 @@ def main() -> None:
             raw_weights=args.raw_weights,
         )
         if args.corpus:
-            score_auditions(out, args.corpus, json_out=args.json_out)
+            score_auditions(
+                out, args.corpus, json_out=args.json_out,
+                holdout_frac=args.holdout_frac,
+                holdout_dir=args.holdout_dir,
+                holdout_seed=args.holdout_seed,
+            )
 
     elif args.mode == "compare":
         from .evaluate import compare_artifacts
@@ -404,6 +430,9 @@ def main() -> None:
             args.ckpts, args.corpus, seeds=args.seeds, nb_vec=args.nb_vec,
             seed=args.latent_seed, out_dir=args.out_dir,
             json_out=args.json_out,
+            holdout_frac=args.holdout_frac,
+            holdout_dir=args.holdout_dir,
+            holdout_seed=args.holdout_seed,
         )
 
     elif args.mode == "info":

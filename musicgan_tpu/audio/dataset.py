@@ -72,11 +72,30 @@ class SpectrogramDataset:
         """False while a streaming ingest is still appending shards."""
         return bool(self.index.get("complete", True))
 
-    def refresh(self) -> bool:
+    def peek_total(self) -> int:
+        """Total samples the on-disk index offers right now, WITHOUT
+        mutating the open view.  Multi-host streaming ingest allgathers
+        this so every host refreshes to the same agreed snapshot."""
+        if self._shards is None or self.complete:
+            return len(self)
+        try:
+            with open(os.path.join(self.path, INDEX_NAME)) as f:
+                new_index = json.load(f)
+        except (OSError, ValueError):  # mid-replace race or gone
+            return len(self)
+        return max(len(self), int(new_index["total_samples"]))
+
+    def refresh(self, limit: int | None = None) -> bool:
         """Pick up shards appended since the dataset was opened (streaming
         ingest: ``ShardWriter`` rewrites the index atomically per flush).
         Returns True if the dataset grew.  No-op for reference ``.pt`` dirs
-        and for already-complete shard sets."""
+        and for already-complete shard sets.
+
+        ``limit`` caps the visible sample count: on multi-host runs every
+        process passes the allgathered min of ``peek_total()`` so batch
+        composition (which derives from ``len(dataset)``) stays identical
+        across hosts even when their index files grow at different rates.
+        Rows past the cap become visible on a later refresh."""
         if self._shards is None or self.complete:
             return False
         index_path = os.path.join(self.path, INDEX_NAME)
@@ -85,8 +104,15 @@ class SpectrogramDataset:
                 new_index = json.load(f)
         except (OSError, ValueError):  # mid-replace race or gone: keep old
             return False
-        if new_index["total_samples"] <= len(self):
-            self.index["complete"] = new_index.get("complete", True)
+        new_total = int(new_index["total_samples"])
+        if limit is not None:
+            new_total = min(new_total, int(limit))
+        if new_total <= len(self):
+            # Only adopt the on-disk completeness when nothing is held
+            # back: a capped view may still have rows (and the final
+            # "complete" flip) to pick up on a later refresh.
+            if limit is None or new_index["total_samples"] <= new_total:
+                self.index["complete"] = new_index.get("complete", True)
             return False
         for s in new_index["shards"][len(self._shards):]:
             self._shards.append(
@@ -94,7 +120,13 @@ class SpectrogramDataset:
             )
         counts = [s["num_samples"] for s in new_index["shards"]]
         self._offsets = np.concatenate([[0], np.cumsum(counts)])
+        capped = new_total < int(new_index["total_samples"])
         self.index = new_index
+        self.index["total_samples"] = new_total
+        if capped:
+            # Withheld rows (and possibly the final flip to complete) must
+            # stay reachable through future refreshes.
+            self.index["complete"] = False
         return True
 
     def __getitem__(self, i: int) -> np.ndarray:
@@ -117,7 +149,7 @@ class SpectrogramDataset:
         s = self.index.get("sample_shape", [2, 512, 512])
         return len(self) * int(np.prod(s)) * 4
 
-    def as_array(self, dtype=np.float32) -> np.ndarray:
+    def as_array(self, dtype=np.float32, pad_rows: int = 0) -> np.ndarray:
         """Materialize the whole corpus as one array of ``dtype`` (the
         device-resident dataset mode ships this to HBM once).
 
@@ -125,18 +157,30 @@ class SpectrogramDataset:
         corpus never materializes a full float32 copy: host peak is the
         target buffer plus one shard, and the caller can H2D exactly the
         resident bytes (a float32 upload of the r4 10x corpus exceeds
-        the chip's entire HBM)."""
+        the chip's entire HBM).
+
+        ``pad_rows`` appends that many extra rows (copies of row 0, so
+        they are always finite data) — the mesh-sharded resident corpus
+        must be divisible by the device count, and padding HERE avoids a
+        corpus-sized ``np.concatenate`` copy on the host.  Padded rows are
+        never sampled: the epoch index stream draws from the LOGICAL
+        length only (train/loop.py tracks it separately)."""
         dtype = np.dtype(dtype)
+        n_total = len(self) + pad_rows
         if self._shards is not None:
             shape = tuple(self._shards[0].shape[1:])
-            out = np.empty((len(self), *shape), dtype)
+            out = np.empty((n_total, *shape), dtype)
             ofs = 0
             for s in self._shards:
                 k = s.shape[0]
                 out[ofs:ofs + k] = np.asarray(s)  # casts if dtype differs
                 ofs += k
-            return out
-        return self.gather(np.arange(len(self))).astype(dtype, copy=False)
+        else:
+            out = np.empty((n_total, *self[0].shape), dtype)
+            out[: len(self)] = self.gather(np.arange(len(self)))
+        if pad_rows:
+            out[len(self):] = out[0]
+        return out
 
 
 def batch_indices(

@@ -373,7 +373,26 @@ def create_dataset(
     ``if __name__ == "__main__":``).  Library callers are unaffected.
     """
     if isinstance(audio_path, str):
-        files = sorted(glob.glob(audio_path))
+        if os.path.isdir(audio_path):
+            # A bare directory is the natural way to name a corpus; the
+            # reference requires the caller to spell the glob
+            # (``create_dataset.py:18``) — accept both.  Extensions cover
+            # the optional non-WAV decode backends (audio/io.py).
+            files = sorted(
+                f
+                for ext in ("*.wav", "*.flac", "*.ogg", "*.mp3")
+                for f in glob.glob(os.path.join(audio_path, ext))
+            )
+        else:
+            files = sorted(glob.glob(audio_path))
+        files = [f for f in files if os.path.isfile(f)]
+        if not files:
+            # A silent 0-sample dataset wastes a whole unattended run
+            # before anything notices (observed live: a directory passed
+            # where a glob was expected burned the r5 pilot's launch).
+            raise FileNotFoundError(
+                f"create_dataset: no audio files match {audio_path!r}"
+            )
     else:
         files = list(audio_path)
     if num_workers is None:

@@ -59,7 +59,8 @@ import numpy as np
 __all__ = [
     "band_profile", "temporal_profile", "inter_sample_dist",
     "load_corpus_profiles", "score_profiles", "score_auditions",
-    "audition_run", "compare_artifacts", "N_BANDS", "M_BANDS",
+    "audition_run", "compare_artifacts", "split_holdout",
+    "N_BANDS", "M_BANDS",
 ]
 
 N_BANDS = 48
@@ -158,20 +159,53 @@ def inter_sample_dist(profiles: np.ndarray) -> float:
     return float(d[np.triu_indices(s, k=1)].mean())
 
 
-def _load_corpus_both(corpus_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """One decode pass over the corpus -> (spectral ``(T, B)``, temporal
-    ``(T, M)``) profiles.  The wav decode dominates; a second pass over a
-    640-track corpus would cost minutes."""
+def _profiles_for_files(files: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """One decode pass -> (spectral ``(T, B)``, temporal ``(T, M)``)
+    profiles for the given WAV paths.  The wav decode dominates; a second
+    pass over a 640-track corpus would cost minutes."""
     from .audio.io import load_wav
 
     spec, temp = [], []
-    for p in sorted(glob.glob(os.path.join(corpus_dir, "*.wav"))):
+    for p in files:
         wav, sr = load_wav(p)
         spec.append(band_profile(wav, sr))
         temp.append(temporal_profile(wav, sr))
     if not spec:
-        raise ValueError(f"no .wav corpus tracks under {corpus_dir}")
+        raise ValueError("no .wav corpus tracks given")
     return np.stack(spec), np.stack(temp)
+
+
+def _load_corpus_both(corpus_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.wav")))
+    if not files:
+        raise ValueError(f"no .wav corpus tracks under {corpus_dir}")
+    return _profiles_for_files(files)
+
+
+def split_holdout(
+    corpus_dir: str, holdout_frac: float, holdout_seed: int = 17
+) -> tuple[list[str], list[str]]:
+    """Deterministic track-level train/held-out split of a corpus dir.
+
+    A seeded permutation of the SORTED track list, last
+    ``ceil(frac * T)`` tracks held out — stable across runs and across
+    machines, so the same flag value names the same split when training
+    and evaluation use it (round-4 VERDICT item 4)."""
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.wav")))
+    if not files:
+        raise ValueError(f"no .wav corpus tracks under {corpus_dir}")
+    if not 0.0 < holdout_frac < 1.0:
+        raise ValueError(f"holdout_frac must be in (0, 1): {holdout_frac}")
+    k = max(1, int(np.ceil(holdout_frac * len(files))))
+    if k >= len(files):
+        raise ValueError(
+            f"holdout_frac={holdout_frac} holds out all {len(files)} tracks"
+        )
+    perm = np.random.default_rng(holdout_seed).permutation(len(files))
+    held = {int(i) for i in perm[-k:]}
+    train = [f for i, f in enumerate(files) if i not in held]
+    holdout = [f for i, f in enumerate(files) if i in held]
+    return train, holdout
 
 
 def load_corpus_profiles(corpus_dir: str) -> np.ndarray:
@@ -210,13 +244,48 @@ def score_auditions(
     corpus_dir: str,
     json_out: str | None = None,
     verbose: bool = True,
+    holdout_frac: float = 0.0,
+    holdout_dir: str | None = None,
+    holdout_seed: int = 17,
 ) -> dict:
     """Score every ``saveNNN_*.wav`` under ``audition_dir`` against the
     corpus; returns ``{save_index: metrics, "corpus_inter_track_dist": x}``
-    and optionally writes it as JSON."""
+    and optionally writes it as JSON.
+
+    Held-out axis (round-4 VERDICT item 4 — the training-corpus score
+    alone cannot tell memorization of a corpus track from generalization):
+
+    * ``holdout_frac``: deterministically split the corpus dir's tracks
+      (:func:`split_holdout`); samples are scored against the TRAIN part
+      (``nearest_track_dist``, unchanged semantics) AND the held-out part
+      (``nearest_holdout_dist``).  Meaningful when training used the same
+      split; on an all-tracks training run it still calibrates how close
+      "unseen tracks of the same corpus" sit.
+    * ``holdout_dir``: an explicit directory of tracks the generator never
+      trained on (e.g. fresh draws of the synthetic-corpus recipe) —
+      the rigorous option for runs that trained on the full corpus.
+
+    ``holdout_gap = nearest_holdout_dist - nearest_track_dist``: ~0 means
+    samples sit no closer to trained tracks than to unseen ones
+    (generalization); a large positive gap — especially one exceeding the
+    reported ``holdout_to_train_dist`` baseline (how close the held-out
+    tracks themselves sit to the train set) — means memorization."""
     from .audio.io import load_wav
 
-    corpus, corpus_t = _load_corpus_both(corpus_dir)
+    if holdout_dir is not None and holdout_frac:
+        raise ValueError("pass either holdout_frac or holdout_dir, not both")
+    hold = hold_t = None
+    if holdout_dir is not None:
+        corpus, corpus_t = _load_corpus_both(corpus_dir)
+        hold, hold_t = _load_corpus_both(holdout_dir)
+    elif holdout_frac:
+        train_files, hold_files = split_holdout(
+            corpus_dir, holdout_frac, holdout_seed
+        )
+        corpus, corpus_t = _profiles_for_files(train_files)
+        hold, hold_t = _profiles_for_files(hold_files)
+    else:
+        corpus, corpus_t = _load_corpus_both(corpus_dir)
     corpus_spread = inter_sample_dist(corpus)
     corpus_t_spread = inter_sample_dist(corpus_t)
     if verbose:
@@ -225,6 +294,19 @@ def score_auditions(
               f"{corpus_spread:.4f} (diversity calibration); temporal "
               f"{M_BANDS} bands {MOD_LO}-{MOD_HI} Hz, spread "
               f"{corpus_t_spread:.4f}")
+    holdout_to_train = None
+    if hold is not None:
+        # Baseline: how close do genuinely-unseen tracks sit to the train
+        # set?  A generated sample closer to the train set than THIS is
+        # closer than any real unseen track ever gets — memorization.
+        holdout_to_train = float(
+            np.sqrt(
+                ((hold[:, None, :] - corpus[None, :, :]) ** 2).mean(axis=2)
+            ).min(axis=1).mean()
+        )
+        if verbose:
+            print(f"held-out: {len(hold)} tracks, nearest-train baseline "
+                  f"{holdout_to_train:.4f}")
 
     per_save: dict[int, list[np.ndarray]] = defaultdict(list)
     per_save_t: dict[int, list[np.ndarray]] = defaultdict(list)
@@ -240,10 +322,15 @@ def score_auditions(
         "corpus_inter_track_dist": corpus_spread,
         "corpus_temporal_spread": corpus_t_spread,
     }
+    if holdout_to_train is not None:
+        results["holdout_to_train_dist"] = holdout_to_train
+        results["n_holdout_tracks"] = int(len(hold))
     if verbose:
         print(f"\n{'save':>5} {'nearest-track dist':>19} "
               f"{'mean-profile dist':>18} {'inter-sample dist':>18} "
-              f"{'coverage':>9} {'temporal dist':>14} {'t-diversity':>12}")
+              f"{'coverage':>9} {'temporal dist':>14} {'t-diversity':>12}"
+              + (f" {'holdout dist':>13} {'gap':>8}" if hold is not None
+                 else ""))
     for k in sorted(per_save):
         r = score_profiles(np.stack(per_save[k]), corpus)
         # same distance kernel on the temporal profiles (one
@@ -251,6 +338,12 @@ def score_auditions(
         rt = score_profiles(np.stack(per_save_t[k]), corpus_t)
         r["nearest_temporal_dist"] = rt["nearest_track_dist"]
         r["temporal_inter_sample_dist"] = rt["inter_sample_dist"]
+        if hold is not None:
+            rh = score_profiles(np.stack(per_save[k]), hold)
+            r["nearest_holdout_dist"] = rh["nearest_track_dist"]
+            r["holdout_gap"] = (
+                rh["nearest_track_dist"] - r["nearest_track_dist"]
+            )
         results[k] = r
         if verbose:
             print(f"{k:>5} {r['nearest_track_dist']:>19.4f} "
@@ -258,7 +351,10 @@ def score_auditions(
                   f"{r['inter_sample_dist']:>18.4f} "
                   f"{r['nearest_track_coverage']:>9.2f} "
                   f"{r['nearest_temporal_dist']:>14.4f} "
-                  f"{r['temporal_inter_sample_dist']:>12.4f}")
+                  f"{r['temporal_inter_sample_dist']:>12.4f}"
+                  + (f" {r['nearest_holdout_dist']:>13.4f} "
+                     f"{r['holdout_gap']:>8.4f}" if hold is not None
+                     else ""))
 
     if json_out:
         with open(json_out, "w") as f:
@@ -276,6 +372,9 @@ def compare_artifacts(
     json_out: str | None = None,
     model_cfg=None,
     verbose: bool = True,
+    holdout_frac: float = 0.0,
+    holdout_dir: str | None = None,
+    holdout_seed: int = 17,
 ) -> dict:
     """Head-to-head scoring of trained generator artifacts: render the
     SAME latents through each (reference ``gen_*.pt`` files or our
@@ -352,7 +451,10 @@ def compare_artifacts(
             shutil.rmtree(stage_dir, ignore_errors=True)
 
         results = score_auditions(tmp, corpus_dir, json_out=None,
-                                  verbose=verbose)
+                                  verbose=verbose,
+                                  holdout_frac=holdout_frac,
+                                  holdout_dir=holdout_dir,
+                                  holdout_seed=holdout_seed)
         results["artifacts"] = {str(i): c for i, c in enumerate(ckpts)}
         if json_out:
             with open(json_out, "w") as f:

@@ -108,33 +108,60 @@ def train(
     x_sharding = data_sharding(mesh, train_cfg.data_axis) if mesh else None
 
     # Device-resident dataset mode: corpus in HBM once, indices per step
-    # (see TrainConfig.device_dataset).  Single-host single-device scope.
+    # (see TrainConfig.device_dataset).  Composes with a single-host mesh:
+    # the corpus is sharded N/n_dev rows per device along the data axis
+    # and each step's gather costs one batch-sized all-reduce (the GSPMD
+    # lowering — see build_step's device_data branch).  Multi-host stays
+    # gated: assembling a globally-sharded resident corpus from per-host
+    # row ranges needs process-ordered addressable-shard plumbing that the
+    # streaming path already covers.
     dev_dtype = jnp.dtype(train_cfg.device_dataset_dtype)
     if dev_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         raise ValueError(
             f"device_dataset_dtype must be float32 or bfloat16, got "
             f"{train_cfg.device_dataset_dtype}"
         )
-    # bf16 residency halves HBM bytes; budget-check the RESIDENT size.
+    # bf16 residency halves HBM bytes; budget-check the RESIDENT size —
+    # per DEVICE: a mesh shards the corpus, so each chip holds 1/n_dev.
     _dev_bytes = dataset.nbytes() // (
         2 if dev_dtype == jnp.dtype(jnp.bfloat16) else 1
-    )
+    ) // max(n_dev, 1)
     use_dev_data = train_cfg.device_dataset == "on" or (
         train_cfg.device_dataset == "auto"
         and mesh is None
         and jax.process_count() == 1
         and _dev_bytes <= train_cfg.device_dataset_budget_bytes
     )
-    if use_dev_data and (mesh is not None or jax.process_count() > 1):
-        raise ValueError("device_dataset='on' requires a single-host, "
-                         "single-device run")
+    if use_dev_data and jax.process_count() > 1:
+        raise ValueError("device_dataset='on' requires a single-host run")
+
     # Cast on HOST, then ship exactly the resident bytes: jnp.asarray(f32,
     # bfloat16) would upload the float32 bytes and cast on device — a 2x
     # HBM spike that OOMs once the f32 corpus alone exceeds HBM (the r4
     # 10x corpus is 17.4 GB f32 vs 16 GB on a v5e).
-    data_dev = (
-        jax.device_put(dataset.as_array(dev_dtype)) if use_dev_data else None
-    )
+    data_dev = None
+    resident_n = 0  # LOGICAL sample count of the resident corpus (the
+    # shipped array may carry up to n_dev-1 pad rows for even sharding;
+    # the epoch index stream never draws them)
+
+    def ship_corpus():
+        """(Re-)ship the corpus to HBM; frees any prior resident buffer
+        FIRST (HBM can't hold two copies — it is rebuilt from host data,
+        so nothing is lost on a failed upload)."""
+        nonlocal data_dev, resident_n
+        pad = ((-len(dataset)) % n_dev) if mesh is not None else 0
+        staged = dataset.as_array(dev_dtype, pad_rows=pad)
+        if data_dev is not None:
+            data_dev.delete()
+        data_dev = (
+            jax.device_put(staged, data_sharding(mesh, train_cfg.data_axis))
+            if mesh is not None
+            else jax.device_put(staged)
+        )
+        resident_n = len(dataset)
+
+    if use_dev_data:
+        ship_corpus()
 
     def to_global(local_np, sharding):
         """Assemble the global batch from this host's shard.  Single-host:
@@ -502,10 +529,26 @@ def train(
         resume_skip_batches = 0
         epoch_batch_pos = skip
         # Streaming ingest: pick up shards a concurrent create_dataset has
-        # appended since the last epoch.  Single-process only — multi-host
-        # batch composition derives from len(dataset), and hosts must not
-        # observe different snapshots of a still-growing index.
-        if num_hosts == 1 and dataset.refresh():
+        # appended since the last epoch.  Multi-host batch composition
+        # derives from len(dataset), so hosts must not observe different
+        # snapshots of a still-growing index: every process offers what its
+        # index holds (peek_total), the run allgathers the min, and every
+        # host refreshes to exactly that agreed count (rows past it stay
+        # invisible until a later epoch's agreement catches up).  Every
+        # host reaches this point once per epoch, so the collective always
+        # matches up — same pattern as preempt_agreed.
+        if num_hosts == 1:
+            grew = dataset.refresh()
+        else:
+            from jax.experimental import multihost_utils
+
+            agreed = int(
+                multihost_utils.process_allgather(
+                    np.asarray(dataset.peek_total())
+                ).min()
+            )
+            grew = dataset.refresh(limit=agreed)
+        if grew:
             if lead:
                 print(f"[dataset] grew to {len(dataset)} samples", flush=True)
             if use_dev_data:
@@ -515,6 +558,7 @@ def train(
                 if (
                     dataset.nbytes()
                     // (2 if dev_dtype == jnp.dtype(jnp.bfloat16) else 1)
+                    // max(n_dev, 1)
                     <= train_cfg.device_dataset_budget_bytes
                 ):
                     # Re-ship once.  A grown resident corpus is a multi-GB
@@ -525,28 +569,22 @@ def train(
                     # steady-state clock doesn't inherit its duration.  A
                     # wedged upload is still detected one timeout later.
                     watchdog.beat()
-                    # Free the old resident corpus BEFORE uploading the
-                    # grown one: HBM can't hold two copies (it is rebuilt
-                    # from host data, so nothing is lost on a failed
-                    # upload), and cast on host (see the startup ship).
-                    staged = dataset.as_array(dev_dtype)
-                    data_dev.delete()
-                    data_dev = jax.device_put(staged)
-                    del staged
+                    ship_corpus()
                     data_dev.block_until_ready()
                     watchdog.beat()
                 elif lead:
                     print(
                         "[dataset] grown corpus exceeds "
                         "device_dataset_budget_bytes; keeping the resident "
-                        f"{data_dev.shape[0]}-sample snapshot",
+                        f"{resident_n}-sample snapshot",
                         flush=True,
                     )
         epoch_batches = (
             batch_indices(
-                # Index into the RESIDENT array: it may lag len(dataset)
-                # when a grown corpus stopped fitting the budget above.
-                int(data_dev.shape[0]),
+                # Index into the RESIDENT corpus' LOGICAL rows: it may lag
+                # len(dataset) when a grown corpus stopped fitting the
+                # budget above, and never includes mesh pad rows.
+                resident_n,
                 train_cfg.batch_size,
                 seed=train_cfg.seed + epoch,
                 skip=skip,  # index-level: no data touched for skipped batches

@@ -370,16 +370,43 @@ def build_step(
         # each dispatch ships only row indices — steady-state H2D drops
         # from megabytes to bytes per step (and sidesteps PJRT clients
         # that retain every transfer buffer; PERF.md).  The per-stage
-        # input pipeline necessarily runs in-graph.  Single-device scope.
-        assert mesh is None, "device_data is single-device (no mesh)"
+        # input pipeline necessarily runs in-graph.
+        #
+        # On a mesh, the corpus is SHARDED along the sample axis (each
+        # device holds N/n_dev rows) and the index batch along the data
+        # axis.  GSPMD lowers the gather-from-sharded-operand as: all-
+        # gather of the (tiny) index vector, masked local gather, then an
+        # all-reduce of the BATCH-sized partial result — communication is
+        # O(batch bytes) per step and never touches corpus-sized buffers
+        # (verified in the compiled HLO; tests/test_parallel.py pins
+        # numerical parity with the streaming-sharded path).
         assert not pre_scaled, "device_data implies the in-graph pipeline"
 
         def step_dev(state, data, idx, alpha):
             # Upcast at the gather: the resident corpus may be stored
             # bf16 (device_dataset_dtype) — compute always runs f32.
             x_raw = jnp.take(data, idx, axis=0).astype(jnp.float32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # Pin the gathered batch to the same layout the streaming
+                # path feeds the iteration (batch sharded on the data axis).
+                x_raw = jax.lax.with_sharding_constraint(
+                    x_raw, NamedSharding(mesh, P(data_axis or "data"))
+                )
             return iteration(state, x_raw, alpha, bool(with_gen))
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            dsh = NamedSharding(mesh, P(data_axis or "data"))
+            return jax.jit(
+                step_dev,
+                donate_argnums=(0,),
+                in_shardings=(repl, dsh, dsh, repl),
+                out_shardings=(repl, repl),
+            )
         return jax.jit(step_dev, donate_argnums=(0,))
 
     def step(state, x_raw, alpha):
@@ -413,7 +440,6 @@ def build_chunk_step(
     iteration = _make_iteration(stage, model_cfg, train_cfg, pre_scaled)
 
     if device_data:
-        assert mesh is None, "device_data is single-device (no mesh)"
         assert not pre_scaled, "device_data implies the in-graph pipeline"
 
         def chunk_step_dev(state, data, idx_stack, alphas, gen_mask):
@@ -423,10 +449,30 @@ def build_chunk_step(
                 idx, alpha, do_g = inp
                 # bf16-resident corpora upcast at the gather (see step_dev)
                 x = jnp.take(data, idx, axis=0).astype(jnp.float32)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P(data_axis or "data"))
+                    )
                 return iteration(carry, x, alpha, do_g)
 
             return jax.lax.scan(body, state, (idx_stack, alphas, gen_mask))
 
+        if mesh is not None:
+            # Corpus sharded on the sample axis; idx_stack is (K, B) with
+            # the batch dim sharded (mirrors the streaming x_stack layout).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            dsh = NamedSharding(mesh, P(data_axis or "data"))
+            idx_sh = NamedSharding(mesh, P(None, data_axis or "data"))
+            return jax.jit(
+                chunk_step_dev,
+                donate_argnums=(0,),
+                in_shardings=(repl, dsh, idx_sh, repl, repl),
+                out_shardings=(repl, repl),
+            )
         return jax.jit(chunk_step_dev, donate_argnums=(0,))
 
     def chunk_step(state, x_stack, alphas, gen_mask):

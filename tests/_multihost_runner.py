@@ -19,6 +19,11 @@ dumps nothing (the flushed checkpoint is the artifact).
 MODE "resume:N" / "full:N": run to max_iters=N with/without --resume
 semantics, then the LEAD dumps the final generator+discriminator params
 to OUT_DIR/final_params.npz for bit-exactness comparison across runs.
+MODE "stream:N": streaming-ingest-while-training; each process opens its
+OWN copy of a still-growing dataset (DATASET_DIR/{pid}) that the parent
+appends to at different times, and logs len(dataset) after every
+per-epoch refresh to OUT_DIR/sizes_{pid}.log — the parent asserts the
+logs are IDENTICAL across hosts (the allgathered-min agreement).
 """
 
 import sys
@@ -96,6 +101,33 @@ def main() -> None:
 
             sys.stdout.flush()
             raise SystemExit(EXIT_STALLED)
+        return
+
+    if mode.startswith("stream:"):
+        from musicgan_tpu.audio.dataset import SpectrogramDataset
+
+        sizes_path = os.path.join(out, f"sizes_{pid}.log")
+        orig_refresh = SpectrogramDataset.refresh
+
+        def logging_refresh(self, limit=None):
+            grew = orig_refresh(self, limit=limit)
+            with open(sizes_path, "a") as f:
+                f.write(f"{len(self)}\n")
+            return grew
+
+        SpectrogramDataset.refresh = logging_refresh
+        cfg = TrainConfig(
+            batch_size=8, save_every=10**6, log_every=1, nb_preview=1,
+            chunk_steps=1, seed=0,
+        )
+        train(
+            "mh", os.path.join(ds, str(pid)), out, cfg, TINY_MODEL,
+            max_iters=int(mode.split(":")[1]),
+        )
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pre_shutdown")
+        print(f"[runner] process {pid} streamed OK", flush=True)
         return
 
     if mode.startswith(("resume:", "full:")):

@@ -176,6 +176,74 @@ def test_two_process_preemption_agrees_collectively(tmp_path):
     ).all()
 
 
+def test_two_process_streaming_ingest_agrees_on_snapshot(tmp_path):
+    """Streaming ingest composes with multi-host DP (round-4 VERDICT item
+    3): each host's copy of the dataset grows at a DIFFERENT time mid-run,
+    and the per-epoch allgathered-min agreement must keep every host's
+    visible sample count — hence the (seed+epoch)-deterministic batch
+    composition — identical across hosts at every epoch."""
+    import time
+
+    from musicgan_tpu.audio.ingest import ShardWriter
+
+    rng = np.random.default_rng(0)
+    first = rng.uniform(-1, 1, (16, 2, 512, 512)).astype(np.float32)
+    second = rng.uniform(-1, 1, (16, 2, 512, 512)).astype(np.float32)
+
+    ds_root = tmp_path / "ds"
+    writers = []
+    for pid in range(2):
+        w = ShardWriter(str(ds_root / str(pid)), samples_per_shard=8)
+        w.add(first)  # two full shards flushed; index stays complete=false
+        writers.append(w)
+
+    out_mh = str(tmp_path / "out_stream")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    procs = _launch_pair(
+        f"127.0.0.1:{_free_port()}", str(ds_root), out_mh, "stream:200", env
+    )
+
+    # wait for real training progress, then grow the two copies at
+    # deliberately different times — the skew window is what the
+    # agreement protocol exists for
+    csv_path = os.path.join(out_mh, "metrics.csv")
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        try:
+            if os.path.getsize(csv_path) > 0:
+                break
+        except OSError:
+            pass
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.5)
+    else:
+        raise AssertionError("no training progress before deadline")
+
+    writers[0].add(second)
+    writers[0].close()
+    time.sleep(3.0)  # host 1's copy lags: its peers must clamp to 16
+    writers[1].add(second)
+    writers[1].close()
+
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"runner failed:\n{o[-3000:]}"
+
+    logs = []
+    for pid in range(2):
+        with open(os.path.join(out_mh, f"sizes_{pid}.log")) as f:
+            logs.append([int(x) for x in f.read().split()])
+    assert logs[0] == logs[1], (
+        f"hosts observed different dataset snapshots:\n{logs[0]}\n{logs[1]}"
+    )
+    assert logs[0][-1] == 32, f"growth never observed: {logs[0]}"
+    assert logs[0][0] < logs[0][-1]
+
+
 def _launch_pair(coord, ds, out, mode, env):
     return [
         subprocess.Popen(
