@@ -95,6 +95,8 @@ _INIT_TIMEOUT_S = float(_os.environ.get("MUSICGAN_BENCH_INIT_TIMEOUT_S", "600"))
 # Emission order of the device metrics; the headline synthesis metric is
 # LAST (the driver parses the tail line).
 _DEVICE_METRICS = (
+    "device_peak_tflops_f32",
+    "device_peak_tflops_bf16",
     "train_steps_per_sec_stage0",
     "train_steps_per_sec_stage7",
     "gen_audio_sec_per_wall_sec",
@@ -126,14 +128,80 @@ def _cache_update(rec: dict) -> None:
     _os.replace(tmp, _CACHE_PATH)
 
 
-def _emit(metric: str, value: float, unit: str, baseline) -> None:
+def _emit(
+    metric: str, value: float, unit: str, baseline, extra: dict | None = None
+) -> None:
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if baseline:
         rec["vs_baseline"] = round(value / baseline, 3)
     else:
         rec["vs_baseline"] = None
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec), flush=True)
     _cache_update(rec)
+
+
+def _graph_flops(fn, *args) -> float | None:
+    """XLA's own FLOP count for a jitted function's compiled graph.
+
+    The AOT ``lower().compile()`` path re-builds the executable wrapper
+    but hits the persistent compilation cache, so this costs seconds, not
+    a recompile.  Returns ``None`` when the backend exposes no cost
+    analysis (MFU fields are then simply omitted — perf numbers must
+    never be blocked on an optional diagnostic)."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):  # some backends return one dict per device
+            ca = ca[0]
+        flops = float(ca["flops"])
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_extra(
+    flops_per_unit: float | None, units_per_sec: float, peak_tflops
+) -> dict:
+    """The normalized-perf fields VERDICT r4 item 5 asks for on every
+    bench row: achieved TFLOP/s and the fraction of THIS RUN's measured
+    peak (host/chip drift muddied the r2-vs-r4 comparison; a same-run
+    peak measurement makes rows comparable across rounds)."""
+    if flops_per_unit is None:
+        return {}
+    achieved = flops_per_unit * units_per_sec / 1e12
+    out = {"achieved_tflops": round(achieved, 3)}
+    if peak_tflops:
+        out["mfu_vs_measured_peak"] = round(achieved / peak_tflops, 4)
+    return out
+
+
+def measure_peak_tflops(dtype, rtt: float) -> float:
+    """Measured matmul peak for ``dtype`` on this run's (time-sliced)
+    chip: a 2048x2048 matmul chained 64 deep in one dispatch — large
+    enough to sit on the MXU roofline, small enough to finish in
+    milliseconds."""
+    n, k_depth = 2048, 64
+    b = jnp.full((n, n), 0.001, dtype)
+
+    @jax.jit
+    def chain(a, b):
+        def body(c, _):
+            # tanh keeps values bounded across the chain (and is noise
+            # next to the n^3 matmul term in both time and FLOPs)
+            return jnp.tanh(c @ b), None
+
+        c, _ = jax.lax.scan(body, a, None, length=k_depth)
+        return jnp.sum(c.astype(jnp.float32))
+
+    a = jnp.full((n, n), 0.5, dtype)
+    np.asarray(chain(a, b))  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        np.asarray(chain(a, b))
+    elapsed = (time.perf_counter() - t0) / REPS
+    elapsed = max(elapsed - rtt, 0.5 * elapsed)
+    return 2.0 * n**3 * k_depth / elapsed / 1e12
 
 
 def _scalar_rtt() -> float:
@@ -170,7 +238,7 @@ def bench_preproc() -> None:
     )
 
 
-def bench_train(stage: int, rtt: float) -> None:
+def bench_train(stage: int, rtt: float, peak_tflops=None) -> None:
     """Full train iterations/sec at ``stage`` (batch 6, reference parity),
     K iterations per dispatch through the production chunked-scan graph."""
     from musicgan_tpu.train import init_train_state
@@ -201,15 +269,19 @@ def bench_train(stage: int, rtt: float) -> None:
     elapsed = (time.perf_counter() - t0) / REPS
     # rtt is jittery; never let the correction flip the sign
     per_iter = max(elapsed - rtt, 0.5 * elapsed) / k
+    flops = _graph_flops(chunk, state, xs, alphas, gen_mask)
     _emit(
         f"train_steps_per_sec_stage{stage}",
         1.0 / per_iter,
         "steps/s/chip",
         REFERENCE_CPU[f"train_steps_per_sec_stage{stage}"],
+        extra=_mfu_extra(
+            flops / k if flops else None, 1.0 / per_iter, peak_tflops
+        ),
     )
 
 
-def bench_synthesis(rtt: float) -> None:
+def bench_synthesis(rtt: float, peak_tflops=None) -> None:
     from musicgan_tpu.ops.autotune import resolve_conv_impl
 
     model_cfg = ModelConfig()
@@ -247,11 +319,17 @@ def bench_synthesis(rtt: float) -> None:
     audio_seconds = (
         (512 * NB_VEC - 1) * audio_cfg.stft_stride / audio_cfg.sample_rate
     )
+    flops = _graph_flops(many, params, jax.random.PRNGKey(99))
     _emit(
         "gen_audio_sec_per_wall_sec",
         audio_seconds / per_synthesis,
         "audio_s/s/chip",
         60.0,
+        extra=_mfu_extra(
+            flops / K_GEN if flops else None,
+            1.0 / per_synthesis,
+            peak_tflops,
+        ),
     )
 
 
@@ -296,9 +374,19 @@ def device_phase() -> None:
     guard = _arm_init_guard()
     rtt = _scalar_rtt()
     guard.set()  # device answered; long compiles past here are legitimate
-    bench_train(0, rtt)
-    bench_train(7, rtt)
-    bench_synthesis(rtt)  # headline: keep LAST (driver parses the tail)
+    # Same-run measured peaks: every steps/s row below carries
+    # achieved_tflops + mfu_vs_measured_peak against THESE numbers, so
+    # perf rows stay comparable across host/chip drift (VERDICT r4 item
+    # 5).  Training computes f32 (the default recipe); the synthesis
+    # path's fused convs are bf16.
+    peak_f32 = measure_peak_tflops(jnp.float32, rtt)
+    _emit("device_peak_tflops_f32", peak_f32, "tflops/s/chip", None)
+    peak_bf16 = measure_peak_tflops(jnp.bfloat16, rtt)
+    _emit("device_peak_tflops_bf16", peak_bf16, "tflops/s/chip", None)
+    bench_train(0, rtt, peak_tflops=peak_f32)
+    bench_train(7, rtt, peak_tflops=peak_f32)
+    # headline: keep LAST (driver parses the tail)
+    bench_synthesis(rtt, peak_tflops=peak_bf16)
 
 
 def _run_device_child() -> int:

@@ -51,6 +51,8 @@ def test_dead_device_emits_stale_metrics_with_headline_last(
     bench, capsys, monkeypatch
 ):
     _seed_cache(bench, {
+        "device_peak_tflops_f32": 33.9,
+        "device_peak_tflops_bf16": 34.1,
         "train_steps_per_sec_stage0": 5844.31,
         "train_steps_per_sec_stage7": 6.51,
         "gen_audio_sec_per_wall_sec": 2627.21,
