@@ -9,6 +9,7 @@ from .functions import (
     bark_magn_scale,
     bark_scale_vector,
     magn_phase_to_signal,
+    mp_to_real_imag,
     signal_to_stft,
     stft_to_phase_magn,
     unwrap,
@@ -46,6 +47,7 @@ __all__ = [
     "istft_real_imag",
     "load_wav",
     "magn_phase_to_signal",
+    "mp_to_real_imag",
     "rebin",
     "rebin_operator",
     "resize_batch",

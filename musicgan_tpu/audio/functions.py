@@ -33,6 +33,7 @@ __all__ = [
     "bark_scale_vector",
     "bark_magn_scale",
     "stft_to_phase_magn",
+    "mp_to_real_imag",
     "magn_phase_to_signal",
     "signal_to_stft",
     "wav_to_stft",
@@ -143,17 +144,13 @@ def stft_to_phase_magn(
     return magn, phase
 
 
-def magn_phase_to_signal(
+def mp_to_real_imag(
     magn_phase: jnp.ndarray, cfg: AudioConfig = _DEFAULT
-) -> jnp.ndarray:
-    """Invert ``(N, 2, n_bins, W)`` magn/phase chunks to a 1-D waveform.
-
-    Mirrors reference ``audio/functions.py:97-137`` with two TPU-native
-    upgrades: the serial Python phase-accumulation loop becomes a
-    ``jnp.cumsum`` (parallel scan), and the complex iSTFT is the MXU
-    matmul-DFT from ``stft.py``.  Fully jit-compatible, so the generate
-    path can fuse G-forward + this vocoder into one compiled graph.
-    """
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``(N, 2, n_bins, W)`` magn/phase chunks -> complex-spectrum parts
+    ``(n_fft//2+1, N*W)`` ready for any iSTFT backend (the elementwise
+    front half of :func:`magn_phase_to_signal`; reference
+    ``audio/functions.py:108-128``)."""
     assert magn_phase.ndim == 4, f"(N, 2, H, W), actual = {magn_phase.shape}"
     assert magn_phase.shape[1] == 2
     assert magn_phase.shape[2] == cfg.n_bins
@@ -180,7 +177,23 @@ def magn_phase_to_signal(
     zrow = jnp.zeros((1, real.shape[1]), real.dtype)
     real = jnp.concatenate([real, zrow], axis=0)
     imag = jnp.concatenate([imag, zrow], axis=0)
+    return real, imag
 
+
+def magn_phase_to_signal(
+    magn_phase: jnp.ndarray, cfg: AudioConfig = _DEFAULT
+) -> jnp.ndarray:
+    """Invert ``(N, 2, n_bins, W)`` magn/phase chunks to a 1-D waveform.
+
+    Mirrors reference ``audio/functions.py:97-137`` with two TPU-native
+    upgrades: the serial Python phase-accumulation loop becomes a
+    ``jnp.cumsum`` (parallel scan), and the complex iSTFT is the MXU
+    matmul-DFT from ``stft.py``.  Fully jit-compatible, so the generate
+    path can fuse G-forward + this vocoder into one compiled graph.
+    (The generate path may instead route the iSTFT through the fused
+    Pallas kernel — ``ops/istft_pallas.py`` — selected by autotune.)
+    """
+    real, imag = mp_to_real_imag(magn_phase, cfg)
     return stft_lib.istft_real_imag(
         real, imag, n_fft=cfg.n_fft, hop=cfg.stft_stride
     )

@@ -26,15 +26,23 @@ from .models import generator_forward
 __all__ = ["synthesize_fn", "load_generator_params", "generate"]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _synthesize(params, z, stage: int, model_cfg: ModelConfig):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _synthesize(
+    params, z, stage: int, model_cfg: ModelConfig, istft_impl: str = "xla"
+):
     """(M, h, 2*nb_vec, C) latent -> (M, T) waveforms, one compiled graph.
 
     For a partially-grown ``stage`` the image is nearest-upsampled to the
     full 512-bin resolution before vocoding, so audio can be auditioned
     from any growth checkpoint (the reference can only generate at
-    end_layer=7, ``generate.py:29-32``)."""
+    end_layer=7, ``generate.py:29-32``).
+
+    ``istft_impl``: the vocoder's iSTFT lowering — ``"xla"`` (matmul-DFT,
+    audio/stft.py) or ``"pallas"`` (the fused kernel, ops/istft_pallas.py;
+    batch rides the kernel grid, so no vmap wraps the pallas_call)."""
     import jax.numpy as jnp
+
+    from .audio import mp_to_real_imag
 
     img = generator_forward(params, z, stage, 1.0, model_cfg)  # (M, H, W, 2)
     n_stages = model_cfg.n_stages
@@ -45,6 +53,15 @@ def _synthesize(params, z, stage: int, model_cfg: ModelConfig):
             img, (m, h * factor, w * factor, c), method="nearest"
         )
     mp = img.transpose(0, 3, 1, 2)[:, None]  # (M, 1, 2, H, W): 1 wide chunk
+    if istft_impl == "pallas":
+        from .config import AudioConfig
+        from .ops.istft_pallas import istft_fused
+
+        acfg = AudioConfig()
+        real, imag = jax.vmap(mp_to_real_imag)(mp)  # (M, n_bins+1?, T)
+        return istft_fused(
+            real, imag, n_fft=acfg.n_fft, hop=acfg.stft_stride
+        )
     return jax.vmap(magn_phase_to_signal)(mp)
 
 
@@ -61,14 +78,23 @@ def synthesize_fn(model_cfg: ModelConfig = ModelConfig(), stage: int = 7):
     winner if one exists, XLA lowering otherwise — instead of running the
     timing harness inside the trace.
     """
-    from .ops.autotune import resolve_conv_impl
+    from .ops.autotune import resolve_conv_impl, resolve_istft_impl
 
     def f(params, z):
+        allow_measure = not isinstance(z, jax.core.Tracer)
         cfg = resolve_conv_impl(
-            model_cfg, tuple(z.shape), stage,
-            allow_measure=not isinstance(z, jax.core.Tracer),
+            model_cfg, tuple(z.shape), stage, allow_measure=allow_measure
         )
-        return _synthesize(params, z, stage, cfg)
+        # Spectrum frames the vocoder will invert: the fully-convolutional
+        # stack upsamples x2 per block (n_stages blocks), and partial
+        # stages are nearest-upsampled back to full resolution first —
+        # so every latent column becomes 2^n_stages frames regardless of
+        # stage (z width 2*nb_vec -> 512*nb_vec frames).
+        t_frames = z.shape[2] * 2 ** model_cfg.n_stages
+        istft_impl = resolve_istft_impl(
+            t_frames, allow_measure=allow_measure
+        )
+        return _synthesize(params, z, stage, cfg, istft_impl)
 
     return f
 

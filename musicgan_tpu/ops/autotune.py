@@ -32,6 +32,7 @@ from ..config import ModelConfig
 
 __all__ = [
     "resolve_conv_impl", "measure_conv_impls", "measure_train_impls",
+    "resolve_istft_impl", "measure_istft_impls", "VOCODER_IMPLS",
 ]
 
 _CACHE: dict = {}
@@ -239,6 +240,115 @@ def measure_train_impls(
             times[impl] = float("inf")
         _beat_watchdog()
     return times
+
+
+# Vocoder (iSTFT) lowerings: the XLA matmul-DFT (audio/stft.py) vs the
+# fused Pallas kernel (ops/istft_pallas.py — iDFT matmuls + window-folded
+# bases + in-VMEM overlap-add).  Same autotune contract as the convs.
+VOCODER_IMPLS = ("xla", "pallas")
+
+
+def measure_istft_impls(
+    n_bins: int, t: int, candidates=VOCODER_IMPLS, k: int = 48
+) -> dict[str, float]:
+    """Wall-time per iSTFT (seconds) for each vocoder lowering at the
+    ``(n_bins, t)`` spectrum shape, ``k`` inversions per timed dispatch.
+
+    ``k`` is much deeper than the conv harness's ``_K``: a single iSTFT
+    is ~1 ms while the tunneled chip's dispatch RTT is ~30 ms, so a
+    shallow dispatch would rank RTT jitter, not the kernels."""
+    from ..audio.stft import istft_real_imag
+    from .istft_pallas import istft_fused
+
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.normal(size=(n_bins, t)).astype(np.float32))
+    imag = jnp.asarray(rng.normal(size=(n_bins, t)).astype(np.float32))
+    rtt = _measure_rtt()
+
+    fns = {
+        "xla": lambda r, i: istft_real_imag(r, i),
+        "pallas": lambda r, i: istft_fused(r, i),
+    }
+    times: dict[str, float] = {}
+    for impl in candidates:
+        fn = fns[impl]
+
+        @jax.jit
+        def many(real, imag, _fn=fn):
+            def body(carry, i):
+                y = _fn(real + i * 0.0, imag)
+                return carry + jnp.sum(y), None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k))
+            return out
+
+        try:
+            np.asarray(many(real, imag))  # compile + warmup
+            best = float("inf")
+            for _ in range(_REPS):
+                t0 = time.perf_counter()
+                np.asarray(many(real, imag))
+                best = min(best, (time.perf_counter() - t0 - rtt) / k)
+            times[impl] = max(best, 0.0)
+        except Exception as e:  # noqa: BLE001 — a failing impl just loses
+            print(
+                f"[autotune] istft impl {impl} failed "
+                f"({type(e).__name__}); skipped"
+            )
+            times[impl] = float("inf")
+        _beat_watchdog()
+    return times
+
+
+def resolve_istft_impl(
+    t: int, n_bins: int = 513, allow_measure: bool = True
+) -> str:
+    """Measured vocoder-lowering winner for a ``(n_bins, t)`` spectrum on
+    the current backend — same contract as :func:`resolve_conv_impl`:
+    persisted per shape, trace-safe ``allow_measure=False`` mode falls
+    back to ``"xla"`` on a cache miss, CPU always gets the XLA lowering
+    (interpreted Pallas is orders slower)."""
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return "xla"
+    key = (
+        f"v{_CACHE_VERSION}|{backend}|istft|{n_bins}x{t}|{VOCODER_IMPLS}"
+    )
+    if not allow_measure and key not in _CACHE:
+        return _load_persisted().get(key) or "xla"
+    if key not in _CACHE:
+        winner = None
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            persisted = _load_persisted()
+            if key in persisted:
+                winner = persisted[key]
+            else:
+                times = measure_istft_impls(n_bins, t)
+                winner = min(times, key=times.get)
+                print(
+                    "[autotune] istft_impl -> " + winner + "  ("
+                    + ", ".join(
+                        f"{k}={v * 1e3:.2f}ms" for k, v in times.items()
+                    )
+                    + ")"
+                )
+                persisted[key] = winner
+                _persist(persisted)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            idx = (
+                VOCODER_IMPLS.index(winner)
+                if winner in VOCODER_IMPLS else 0
+            )
+            idx = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(idx, np.int32)
+                )
+            )
+            winner = VOCODER_IMPLS[idx]
+        _CACHE[key] = winner
+    return _CACHE[key]
 
 
 def _candidates_and_key(

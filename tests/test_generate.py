@@ -259,3 +259,12 @@ def test_synthesize_fn_jittable_under_outer_jit_on_cache_miss(
     # real backend label so resolution takes the CPU short-circuit and
     # assert the winner table stays unpolluted by the traced fallback.
     assert not autotune._CACHE
+
+
+def test_resolve_istft_impl_cpu_and_trace_safe():
+    """CPU backend always gets the XLA vocoder lowering (interpreted
+    Pallas is orders slower), and the trace-safe mode never measures."""
+    from musicgan_tpu.ops.autotune import resolve_istft_impl
+
+    assert resolve_istft_impl(10240) == "xla"
+    assert resolve_istft_impl(10240, allow_measure=False) == "xla"
