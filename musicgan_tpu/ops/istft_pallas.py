@@ -180,8 +180,8 @@ def istft_fused(
         kernel,
         grid=(batch, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # rt: DMA'd manually
-            pl.BlockSpec(memory_space=pltpu.ANY),   # it: DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),      # rt: DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),      # it: DMA'd manually
             pl.BlockSpec(
                 (nb_pad, n_fft), lambda b, i: (0, 0),
                 memory_space=pltpu.VMEM,
