@@ -69,3 +69,37 @@ def test_as_array_host_side_dtype_cast(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(bf16), f32.astype(jnp.bfloat16)
     )
+
+
+def test_refresh_limit_caps_and_releases(tmp_path):
+    """refresh(limit=) semantics (multi-host streaming agreement,
+    train/loop.py): the view never exceeds the agreed cap, a capped view
+    stays incomplete (withheld rows + the final complete flip must remain
+    reachable), and later refreshes release the held-back rows."""
+    data = np.random.default_rng(1).uniform(-1, 1, (24, 2, 8, 8))
+    data = data.astype(np.float32)
+    w = ShardWriter(str(tmp_path / "ds"), samples_per_shard=8)
+    w.add(data[:16])  # two flushed shards, index total=16, complete=False
+    ds = SpectrogramDataset(str(tmp_path / "ds"))
+    assert len(ds) == 16 and not ds.complete
+
+    w.add(data[16:24])  # third shard appears on disk
+    assert ds.peek_total() == 24  # peek sees disk without mutating
+    assert len(ds) == 16
+
+    assert ds.refresh(limit=20) is True
+    assert len(ds) == 20
+    assert not ds.complete  # capped: rows 20-23 withheld, stays incomplete
+    np.testing.assert_allclose(ds[19], data[19], rtol=0, atol=0)
+
+    # same cap again: no growth, still incomplete
+    assert ds.refresh(limit=20) is False
+    assert not ds.complete
+
+    w.close()  # disk flips complete=True at total 24
+    assert ds.refresh(limit=24) is True
+    assert len(ds) == 24 and ds.complete  # cap == disk: adopt completeness
+    np.testing.assert_allclose(ds[23], data[23], rtol=0, atol=0)
+
+    # uncapped refresh on a complete view is a no-op
+    assert ds.refresh() is False
