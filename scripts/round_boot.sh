@@ -66,23 +66,24 @@ if [ ! -f "$CORPUS/ds/index.json" ]; then
 fi
 
 # --- 2b. reseed checkpoints from the repo if the reboot wiped /root/runs ---
-# The pilot ships the newest complete train-state checkpoint into
-# saved_models/quality_r4/resume_ckpt/ (the only persistent filesystem);
-# restoring it here turns a from-scratch retrain into a resume.  Safe
+# The pilot/finalize scripts ship the newest complete train-state
+# checkpoint into saved_models/quality_r*/resume_ckpt/ (the only
+# persistent filesystem); restoring it here turns a from-scratch retrain
+# into a resume.  Scan EVERY staged resume_ckpt and take the globally
+# newest save index (r5 stages quality_r5/ beside quality_r4/).  Safe
 # because the corpus recipe above is pinned (sorted glob + order-preserving
 # imap make the rebuilt dataset byte-identical), so the checkpoint's
 # epoch/batch cursor still addresses the same samples.
 OUT=/root/runs/quality_r4
 if ! ls "$OUT"/checkpoints/save_* >/dev/null 2>&1; then
     # numeric sort: lexicographic `tail -1` would pick save_9 over save_80
-    SEED=$(for d in "$REPO"/saved_models/quality_r4/resume_ckpt/save_*/; do
-        [ -f "$d/meta.json" ] && basename "$d"
-    done | sed 's/save_//' | sort -n | tail -1)
-    if [ -n "$SEED" ]; then
+    SEED_DIR=$(for d in "$REPO"/saved_models/quality_r*/resume_ckpt/save_*/; do
+        [ -f "$d/meta.json" ] && echo "$(basename "$d" | sed 's/save_//') $d"
+    done | sort -n | tail -1 | cut -d' ' -f2)
+    if [ -n "$SEED_DIR" ]; then
         mkdir -p "$OUT/checkpoints"
-        cp -r "$REPO/saved_models/quality_r4/resume_ckpt/save_$SEED" \
-            "$OUT/checkpoints/"
-        log "reseeded save_$SEED from the repo — pilot resumes instead of retraining"
+        cp -r "$SEED_DIR" "$OUT/checkpoints/$(basename "$SEED_DIR")"
+        log "reseeded $(basename "$SEED_DIR") from $SEED_DIR — pilot resumes instead of retraining"
     fi
 fi
 
