@@ -57,7 +57,6 @@ from musicgan_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()  # stage-7 graphs cost minutes through the
 # remote-compile tunnel; repeated bench runs reuse the persisted binaries
 
-from musicgan_tpu.audio import magn_phase_to_signal  # noqa: E402
 from musicgan_tpu.config import AudioConfig, ModelConfig, TrainConfig
 from musicgan_tpu.models import generator_forward, init_generator
 
@@ -176,41 +175,13 @@ def _mfu_extra(
     return out
 
 
-def measure_peak_tflops(dtype, rtt: float) -> float:
-    """Measured matmul peak for ``dtype`` on this run's (time-sliced)
-    chip: a 2048x2048 matmul chained 64 deep in one dispatch — large
-    enough to sit on the MXU roofline, small enough to finish in
-    milliseconds."""
-    n, k_depth = 2048, 64
-    b = jnp.full((n, n), 0.001, dtype)
-
-    @jax.jit
-    def chain(a, b):
-        def body(c, _):
-            # tanh keeps values bounded across the chain (and is noise
-            # next to the n^3 matmul term in both time and FLOPs)
-            return jnp.tanh(c @ b), None
-
-        c, _ = jax.lax.scan(body, a, None, length=k_depth)
-        return jnp.sum(c.astype(jnp.float32))
-
-    a = jnp.full((n, n), 0.5, dtype)
-    np.asarray(chain(a, b))  # warmup / compile
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        np.asarray(chain(a, b))
-    elapsed = (time.perf_counter() - t0) / REPS
-    elapsed = max(elapsed - rtt, 0.5 * elapsed)
-    return 2.0 * n**3 * k_depth / elapsed / 1e12
-
-
-def _scalar_rtt() -> float:
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(tiny(jnp.float32(0)))
-    return (time.perf_counter() - t0) / 5
+# One shared implementation for the whole repo (bench, autotuner,
+# close-out scripts) so cross-script numbers stay comparable; re-exported
+# here because bench.py is the driver-facing surface.
+from musicgan_tpu.utils.timing import (  # noqa: E402
+    measure_peak_tflops,
+    scalar_rtt as _scalar_rtt,
+)
 
 
 def bench_preproc() -> None:
@@ -282,7 +253,11 @@ def bench_train(stage: int, rtt: float, peak_tflops=None) -> None:
 
 
 def bench_synthesis(rtt: float, peak_tflops=None) -> None:
-    from musicgan_tpu.ops.autotune import resolve_conv_impl
+    from musicgan_tpu.generate import _synthesize
+    from musicgan_tpu.ops.autotune import (
+        resolve_conv_impl,
+        resolve_istft_impl,
+    )
 
     model_cfg = ModelConfig()
     audio_cfg = AudioConfig()
@@ -290,20 +265,22 @@ def bench_synthesis(rtt: float, peak_tflops=None) -> None:
         1, model_cfg.latent_height, model_cfg.latent_width * NB_VEC,
         model_cfg.rand_channels,
     )
-    model_cfg = resolve_conv_impl(model_cfg, z_shape, stage=7)
+    stage = model_cfg.n_stages - 1
+    model_cfg = resolve_conv_impl(model_cfg, z_shape, stage=stage)
+    # The headline must measure the PRODUCTION synthesis graph: generate
+    # routes the vocoder through the autotuned iSTFT winner
+    # (generate.py::synthesize_fn), so the bench resolves it the same way
+    # instead of hard-coding the XLA lowering.
+    istft_impl = resolve_istft_impl(z_shape[2] * 2 ** model_cfg.n_stages)
     params = init_generator(jax.random.PRNGKey(0), model_cfg)
 
     @jax.jit
     def many(params, key):
         def body(carry, i):
-            z = jax.random.normal(
-                jax.random.fold_in(key, i),
-                (1, model_cfg.latent_height, model_cfg.latent_width * NB_VEC,
-                 model_cfg.rand_channels),
-            )
-            img = generator_forward(params, z, 7, 1.0, model_cfg)
-            mp = img.transpose(0, 3, 1, 2)[:, None]
-            wave = jax.vmap(magn_phase_to_signal)(mp)
+            z = jax.random.normal(jax.random.fold_in(key, i), z_shape)
+            # generate.py's jitted _synthesize inlines here, so the timed
+            # graph IS the production G-forward + vocoder graph.
+            wave = _synthesize(params, z, stage, model_cfg, istft_impl)
             return carry + jnp.sum(wave), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K_GEN))

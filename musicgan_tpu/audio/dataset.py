@@ -95,7 +95,21 @@ class SpectrogramDataset:
         process passes the allgathered min of ``peek_total()`` so batch
         composition (which derives from ``len(dataset)``) stays identical
         across hosts even when their index files grow at different rates.
-        Rows past the cap become visible on a later refresh."""
+        Rows past the cap become visible on a later refresh.
+
+        A view larger than ``limit`` SHRINKS to it (in-memory, never
+        fails): hosts that opened their dataset mid-ingest at different
+        snapshot sizes must still converge on the agreed count, else
+        they would dispatch different numbers of per-step collectives
+        and deadlock the pod.  The hidden rows (and the on-disk
+        ``complete`` flip) come back through a later, larger agreement."""
+        if limit is not None and int(limit) < len(self):
+            # Shrink before anything that can early-return or fail —
+            # this must hold even for complete/pt-dir views and when the
+            # on-disk index is transiently unreadable.
+            self.index["total_samples"] = int(limit)
+            self.index["complete"] = False
+            return False
         if self._shards is None or self.complete:
             return False
         index_path = os.path.join(self.path, INDEX_NAME)

@@ -377,11 +377,15 @@ def create_dataset(
             # A bare directory is the natural way to name a corpus; the
             # reference requires the caller to spell the glob
             # (``create_dataset.py:18``) — accept both.  Extensions cover
-            # the optional non-WAV decode backends (audio/io.py).
+            # the optional non-WAV decode backends (audio/io.py); match
+            # case-insensitively (CD rippers write TRACK01.WAV) and
+            # recurse (album subdirectories are a common corpus layout).
+            exts = {".wav", ".flac", ".ogg", ".mp3"}
             files = sorted(
-                f
-                for ext in ("*.wav", "*.flac", "*.ogg", "*.mp3")
-                for f in glob.glob(os.path.join(audio_path, ext))
+                os.path.join(root, name)
+                for root, _dirs, names in os.walk(audio_path)
+                for name in names
+                if os.path.splitext(name)[1].lower() in exts
             )
         else:
             files = sorted(glob.glob(audio_path))

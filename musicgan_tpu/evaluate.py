@@ -404,12 +404,21 @@ def compare_artifacts(
     # destructive surprise (ADVICE r4)
     stale_wavs = sorted(glob.glob(os.path.join(tmp, "save*.wav")))
     if stale_wavs:
-        print(
+        notice = (
             f"[compare] clearing {len(stale_wavs)} stale audition WAV(s) "
             f"from {tmp} (they would corrupt the score table): "
             + ", ".join(os.path.basename(s) for s in stale_wavs[:8])
             + (" …" if len(stale_wavs) > 8 else "")
         )
+        if verbose:
+            print(notice)
+        else:
+            # verbose=False silences diagnostics, but a deletion must
+            # never be fully silent (ADVICE r4) — route it through the
+            # warnings machinery, which callers can filter explicitly.
+            import warnings
+
+            warnings.warn(notice, stacklevel=2)
     for stale in stale_wavs:
         os.remove(stale)
 

@@ -55,13 +55,11 @@ def _beat_watchdog() -> None:
 
 
 def _measure_rtt() -> float:
-    """Scalar dispatch round-trip latency, subtracted from measurements."""
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        np.asarray(tiny(jnp.float32(0)))
-    return (time.perf_counter() - t0) / 3
+    """Scalar dispatch round-trip latency, subtracted from measurements
+    (the shared repo-wide implementation; utils/timing.py)."""
+    from ..utils.timing import scalar_rtt
+
+    return scalar_rtt(reps=3)
 _CACHE_VERSION = 5  # bump when any impl's kernel changes: invalidates
 # persisted winners picked against the old code (v1: pallas tile bug
 # disqualified it, freezing 'xla' on disk; v2: bf16 sublane-padding OOM

@@ -548,6 +548,20 @@ def train(
                 ).min()
             )
             grew = dataset.refresh(limit=agreed)
+            # Convergence guard: refresh(limit=) leaves len(dataset) ==
+            # agreed except when this host's index file was transiently
+            # unreadable mid-rewrite (it keeps its old, smaller view).
+            # Re-agree on the realized min and shrink everyone to it —
+            # shrinking is in-memory and always succeeds, so after this
+            # every host provably composes identical batches.
+            realized = int(
+                multihost_utils.process_allgather(
+                    np.asarray(len(dataset))
+                ).min()
+            )
+            if realized != len(dataset):
+                dataset.refresh(limit=realized)
+                grew = False
         if grew:
             if lead:
                 print(f"[dataset] grew to {len(dataset)} samples", flush=True)

@@ -73,13 +73,11 @@ def main() -> None:
     train_cfg = TrainConfig(batch_size=6)
     stage, size = 0, 4
 
-    # scalar-fetch RTT, bench.py methodology
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(8):
-        np.asarray(tiny(jnp.float32(0)))
-    rtt = (time.perf_counter() - t0) / 8
+    # scalar-fetch RTT — the shared repo-wide implementation
+    # (utils/timing.py; also used by bench.py and the autotuner)
+    from musicgan_tpu.utils.timing import scalar_rtt
+
+    rtt = scalar_rtt(reps=8)
 
     rng = np.random.default_rng(0)
     out: dict = {"rtt_ms": round(rtt * 1e3, 3), "walls_ms": {}}

@@ -34,10 +34,18 @@ log() { echo "[finalize $(date -u +%H:%M:%S)] $*"; }
 # The committed 298.4k artifact: the pilot overwrites its working-tree
 # copy during staging, so materialize it from git if the session's early
 # snapshot is gone (idempotent either way).
-if [ ! -f "$BASE298" ]; then
+# -s (not -f) + write-to-temp: a failed `git show` still creates the
+# redirect target, and a relaunch (the script's whole reason to exist)
+# must not mistake that empty file for the artifact.
+if [ ! -s "$BASE298" ]; then
     mkdir -p "$(dirname "$BASE298")"
-    git show HEAD:saved_models/quality_r4/gen_final.pt > "$BASE298" \
-        || { log "FATAL: no 298k baseline artifact"; exit 1; }
+    if git show HEAD:saved_models/quality_r4/gen_final.pt > "$BASE298.tmp" \
+            && [ -s "$BASE298.tmp" ]; then
+        mv "$BASE298.tmp" "$BASE298"
+    else
+        rm -f "$BASE298.tmp" "$BASE298"
+        log "FATAL: no 298k baseline artifact"; exit 1
+    fi
 fi
 
 # --- wait for the pilot (it stages $REPO/saved_models/quality_r4) ---

@@ -33,45 +33,20 @@ import jax.numpy as jnp
 from musicgan_tpu.utils.cache import enable_compilation_cache
 
 
-def _rtt() -> float:
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(tiny(jnp.float32(0)))
-    return (time.perf_counter() - t0) / 5
-
-
-def _time_dispatch(fn, *args, reps=3, rtt=0.0):
-    np.asarray(fn(*args))  # compile + warmup
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - rtt, 0.5 * best)
+# Shared repo-wide measurement primitives (utils/timing.py) — the same
+# implementations bench.py and the autotuner use, so the roofline's
+# numbers are directly comparable to BENCH_r*.json rows.
+from musicgan_tpu.utils.timing import (  # noqa: E402
+    measure_peak_tflops,
+    scalar_rtt as _rtt,
+    time_dispatch as _time_dispatch,
+)
 
 
 def measure_peak(precision, rtt, n=2048, depth=64) -> float:
-    b = jnp.full((n, n), 0.001, jnp.float32)
-    a = jnp.full((n, n), 0.5, jnp.float32)
-
-    @jax.jit
-    def chain(a, b):
-        def body(c, _):
-            return jnp.tanh(
-                jax.lax.dot_general(
-                    c, b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-            ), None
-
-        c, _ = jax.lax.scan(body, a, None, length=depth)
-        return jnp.sum(c)
-
-    dt = _time_dispatch(chain, a, b, rtt=rtt)
-    return 2.0 * n**3 * depth / dt / 1e12
+    return measure_peak_tflops(
+        jnp.float32, rtt, precision=precision, n=n, depth=depth
+    )
 
 
 def measure_bandwidth(rtt, mb=256, depth=16) -> float:

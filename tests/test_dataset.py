@@ -103,3 +103,39 @@ def test_refresh_limit_caps_and_releases(tmp_path):
 
     # uncapped refresh on a complete view is a no-op
     assert ds.refresh() is False
+
+def test_refresh_limit_shrinks_oversized_view(tmp_path):
+    """A view larger than the agreed limit SHRINKS to it (multi-host
+    convergence, train/loop.py): hosts that opened their dataset copies
+    at different mid-ingest snapshot sizes would otherwise compose
+    different batch counts and deadlock the pod's collectives.  Shrink
+    is in-memory (works even when the on-disk index is unreadable) and
+    the hidden rows come back through a later, larger agreement."""
+    data = np.random.default_rng(2).uniform(-1, 1, (24, 2, 8, 8))
+    data = data.astype(np.float32)
+    w = ShardWriter(str(tmp_path / "ds"), samples_per_shard=8)
+    w.add(data[:24])  # three flushed shards on disk
+    ds = SpectrogramDataset(str(tmp_path / "ds"))
+    assert len(ds) == 24  # opened "ahead" of a lagging peer host
+
+    # Peer offers only 16 -> agreed=16 -> this host must shrink.
+    assert ds.refresh(limit=16) is False  # shrink is not growth
+    assert len(ds) == 16
+    assert not ds.complete  # rows 16-23 withheld, must stay reachable
+    np.testing.assert_allclose(ds[15], data[15], rtol=0, atol=0)
+
+    # A later, larger agreement releases the hidden rows again.
+    assert ds.refresh(limit=24) is True
+    assert len(ds) == 24
+    np.testing.assert_allclose(ds[23], data[23], rtol=0, atol=0)
+
+    # Shrink must hold even for COMPLETE views (a finished local ingest
+    # next to a still-syncing peer) -- the early complete-return in
+    # refresh() must not bypass it.
+    w.close()
+    assert ds.refresh(limit=24) is False
+    assert ds.complete
+    assert ds.refresh(limit=8) is False
+    assert len(ds) == 8
+    assert ds.refresh(limit=24) is True  # and it can come back
+    assert len(ds) == 24 and ds.complete

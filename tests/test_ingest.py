@@ -79,6 +79,24 @@ def test_create_dataset_and_loader(tmp_path):
     assert len(batches) == 1 and batches[0].shape == (2, 2, 512, 512)
 
 
+def test_create_dataset_bare_directory_recursive_case_insensitive(tmp_path):
+    """A bare corpus directory expands recursively and case-insensitively
+    (CD rippers write TRACK01.WAV; albums live in subdirectories) -- the
+    glob form stays untouched."""
+    wav_dir = tmp_path / "corpus"
+    (wav_dir / "album1").mkdir(parents=True)
+    _make_wav(str(wav_dir / "TRACK01.WAV"), seconds=3.2, freq=220.0)
+    _make_wav(str(wav_dir / "album1" / "t2.wav"), seconds=3.2, freq=330.0)
+    (wav_dir / "notes.txt").write_text("not audio")
+    out = str(tmp_path / "ds")
+    index = ingest.create_dataset(
+        str(wav_dir), out, num_workers=1, samples_per_shard=2,
+        progress=False,
+    )
+    assert index["errors"] == []
+    assert index["total_samples"] == 2
+
+
 def test_batch_iterator_producer_exits_when_abandoned():
     """An abandoned mid-epoch iterator (e.g. a ``max_iters`` break) must not
     leak its producer thread blocked on a full queue."""

@@ -244,6 +244,77 @@ def test_two_process_streaming_ingest_agrees_on_snapshot(tmp_path):
     assert logs[0][0] < logs[0][-1]
 
 
+def test_two_process_divergent_open_sizes_converge(tmp_path):
+    """Hosts that OPEN their dataset copies at different mid-ingest
+    snapshot sizes must still converge on the agreed count at the very
+    first epoch (dataset.refresh(limit=) can SHRINK an oversized view):
+    without the shrink, the ahead host would compose more batches per
+    epoch than its peer and the pod would deadlock on mismatched
+    collectives."""
+    import time
+
+    from musicgan_tpu.audio.ingest import ShardWriter
+
+    rng = np.random.default_rng(0)
+    first = rng.uniform(-1, 1, (24, 2, 512, 512)).astype(np.float32)
+    second = rng.uniform(-1, 1, (8, 2, 512, 512)).astype(np.float32)
+
+    ds_root = tmp_path / "ds"
+    writers = []
+    # host 0 opens AHEAD at 24 rows; host 1 opens at 16 (same prefix)
+    w0 = ShardWriter(str(ds_root / "0"), samples_per_shard=8)
+    w0.add(first)
+    writers.append(w0)
+    w1 = ShardWriter(str(ds_root / "1"), samples_per_shard=8)
+    w1.add(first[:16])
+    writers.append(w1)
+
+    out_mh = str(tmp_path / "out_diverge")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    procs = _launch_pair(
+        f"127.0.0.1:{_free_port()}", str(ds_root), out_mh, "stream:200", env
+    )
+
+    csv_path = os.path.join(out_mh, "metrics.csv")
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        try:
+            if os.path.getsize(csv_path) > 0:
+                break
+        except OSError:
+            pass
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.5)
+    else:
+        raise AssertionError("no training progress before deadline")
+
+    # let the lagging host catch up and both finish at 32
+    writers[1].add(first[16:])
+    writers[0].add(second)
+    writers[0].close()
+    writers[1].add(second)
+    writers[1].close()
+
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"runner failed:\n{o[-3000:]}"
+
+    logs = []
+    for pid in range(2):
+        with open(os.path.join(out_mh, f"sizes_{pid}.log")) as f:
+            logs.append([int(x) for x in f.read().split()])
+    assert logs[0] == logs[1], (
+        f"hosts observed different dataset snapshots:\n{logs[0]}\n{logs[1]}"
+    )
+    # the ahead host must have been CLAMPED to the agreed 16 at epoch 0
+    assert logs[0][0] == 16, f"first agreement should clamp to 16: {logs[0]}"
+    assert logs[0][-1] == 32, f"growth never observed: {logs[0]}"
+
+
 def _launch_pair(coord, ds, out, mode, env):
     return [
         subprocess.Popen(
