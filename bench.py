@@ -58,7 +58,7 @@ enable_compilation_cache()  # stage-7 graphs cost minutes through the
 # remote-compile tunnel; repeated bench runs reuse the persisted binaries
 
 from musicgan_tpu.config import AudioConfig, ModelConfig, TrainConfig
-from musicgan_tpu.models import generator_forward, init_generator
+from musicgan_tpu.models import init_generator
 
 NB_VEC = 20   # ~59.4 s of audio per synthesis
 K_GEN = 8     # on-device synthesis iterations per dispatch

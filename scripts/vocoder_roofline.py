@@ -23,7 +23,6 @@ import _bootstrap  # noqa: F401  (repo root onto sys.path)
 
 import argparse
 import json
-import time
 
 import numpy as np
 
