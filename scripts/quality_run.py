@@ -101,6 +101,14 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.platform)
 
+    # The CLI entry enables this (__main__.py), but quality_run calls
+    # train() directly: without it every supervisor restart after a
+    # device stall recompiles the stage-7 train graphs through the slow
+    # remote-compile tunnel (~10 of the ~12 observed recovery minutes).
+    from musicgan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from musicgan_tpu.config import TrainConfig
     from musicgan_tpu.train import train
 
