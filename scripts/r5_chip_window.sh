@@ -78,4 +78,10 @@ else
     log "skipping bench (no budget)"
 fi
 
+# Render the artifacts into the PERF.md close-out section (idempotent
+# marker splice) so the driver auto-commit ships interpretation, not
+# just JSON, even when no session survives to the round tail.
+python scripts/perf_appendix.py --artifacts "$OUT" --write PERF.md \
+    > /dev/null 2>&1 && log "PERF.md close-out section updated"
+
 log "chip window done — artifacts in $OUT"
