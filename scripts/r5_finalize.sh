@@ -99,9 +99,28 @@ else
     log "skipping holdout eval (no budget)"
 fi
 
-# --- 3. stage saved_models/quality_r5 + restore quality_r4 ---
+# --- 2b. unattended post-growth trend verdict (VERDICT r4 item 1) ---
 DEST="$REPO/saved_models/quality_r5"
 mkdir -p "$DEST"
+if [ -f "$OUT/audition/scores.json" ]; then
+    WINNER=$(python scripts/trend_verdict.py \
+        --audition "$OUT/audition/scores.json" \
+        --compare "$OUT/compare_r5/compare.json" \
+        --write "$DEST/TREND_VERDICT.md" 2>/dev/null | tail -1)
+    log "trend verdict written (winning save: ${WINNER:-?})"
+    # if the curve turned, ship the winning save as gen_best.pt too
+    # (only possible when its full checkpoint is still on disk — the
+    # reboot reseed keeps just the newest one from before this round)
+    if [ -n "$WINNER" ] && [ "$WINNER" != "$FINAL" ] \
+            && [ -f "$OUT/checkpoints/save_$WINNER/meta.json" ]; then
+        timeout 900 python -m musicgan_tpu export \
+            "$OUT/checkpoints/save_$WINNER" -o "$DEST/gen_best.pt" \
+            >> /root/runs/quality_r4_eval.log 2>&1
+        log "gen_best.pt (save $WINNER) export rc=$?"
+    fi
+fi
+
+# --- 3. stage saved_models/quality_r5 + restore quality_r4 ---
 cp -f "$OUT/gen_final.pt" "$DEST/" 2>/dev/null
 cp -f "$OUT/audition/scores.json" "$DEST/scores.json" 2>/dev/null
 cp -f "$OUT/audition_final/scores.json" "$DEST/scores_final_8seed.json" 2>/dev/null
