@@ -101,6 +101,14 @@ do
 done
 log "device live"
 
+# --- 3b. periodic resume-checkpoint stager (round-5 reboot lesson) ---
+# stages the newest cadence save into the repo every 20 min so a host
+# reboot mid-run costs <= 20 min + cadence replay, not the whole segment
+if ! pgrep -x -f "bash scripts/ckpt_stager.sh" >/dev/null 2>&1; then
+    nohup setsid bash scripts/ckpt_stager.sh >> /root/runs/ckpt_stager.log 2>&1 &
+    log "checkpoint stager launched"
+fi
+
 # --- 4. hand off ---
 export MAX_ITERS=${MAX_ITERS:-419000}
 exec bash scripts/r4_pilot.sh
